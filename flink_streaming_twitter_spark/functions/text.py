@@ -1,0 +1,59 @@
+"""Text column expressions: tokenization, hashtag extraction, shingling,
+quality metrics.
+
+Reference parity: the only tokenizer in the reference is the hashtag
+regex ``#\\w+`` applied per tweet with 0..n matches emitted
+(TokenizeTweetTextFlatMap, Main.java:180-200, pattern Main.java:189).
+``regexp_extract_all`` + ``explode`` is the exact Spark analog (F1 in
+SURVEY.md §2.3) and stays inside whole-stage codegen.
+
+Everything here is a pure Column builder — usable identically in batch and
+streaming plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASHTAG_PATTERN = r"#\w+"
+TOKEN_PATTERN = r"\w+"
+# Deterministic stopword list for quality scoring (the synthetic corpus is
+# lowercase word soup; these are its high-frequency glue words).
+STOPWORDS = ("a", "an", "the", "of", "to", "and", "in", "is")
+
+
+def hashtags(text: Column) -> Column:
+    """Array of ``#\\w+`` matches (Main.java:189 semantics; the reference's
+    ``.trim()`` per match is a no-op given the pattern — SURVEY.md P5)."""
+    return F.regexp_extract_all(text, F.lit(HASHTAG_PATTERN), 0)
+
+
+def tokens(text: Column, lowercase: bool = True) -> Column:
+    """Array of word tokens."""
+    t = F.lower(text) if lowercase else text
+    return F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles (space-joined) from the token array.
+
+    Built from ``transform`` + ``slice`` over the token array — pure
+    Catalyst expressions, no UDF. Documents shorter than k words produce a
+    single shingle of all their tokens.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    # positions 1 .. max(1, n-k+1); slice(toks, i, k) is the shingle at i
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def stopword_count(token_array: Column) -> Column:
+    return F.size(F.filter(token_array, lambda t: t.isin(*STOPWORDS)))
+
+
+def distinct_token_count(token_array: Column) -> Column:
+    return F.size(F.array_distinct(token_array))

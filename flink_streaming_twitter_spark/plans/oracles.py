@@ -1,0 +1,123 @@
+"""DuckDB oracle SQL — one ANSI-SQL string per queries() entry, generated
+from the same plans/params.py constants the Spark plans use.
+
+Conventions shared with the Spark side (so the driver's order-insensitive
+value-hash comparison passes):
+- window boundaries are BIGINT epoch seconds: sliding windows enumerate
+  the size/slide aligned starts via a small cross-joined k-range
+  (w = slide*floor(epoch(ts)/slide) - k*slide, k in [0, size/slide));
+- money aggregates run in DECIMAL (exact, engine-portable) and are cast to
+  DOUBLE only at output;
+- every hash is md5-hex-digits→integer (portable across engines);
+- ties are always broken deterministically (documented per query).
+"""
+
+from __future__ import annotations
+
+from . import params as P
+
+
+# Sliding-window enumeration: requires size % slide == 0 (all params
+# satisfy it) so every k in [0, size/slide) yields a valid covering window
+# start w = slide*floor(epoch/slide) - k*slide with no extra filter.
+
+QB_TRENDING_SINGLE = f"""
+WITH slid AS (
+  SELECT
+    CAST(floor(epoch(ts)/{P.TREND_SLIDE_S}) AS BIGINT)*{P.TREND_SLIDE_S} - k.k*{P.TREND_SLIDE_S} AS w_start,
+    event_type
+  FROM events
+  CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+),
+counts AS (
+  SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
+  FROM slid GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM counts
+)
+SELECT w_start, w_end, event_type AS top_event_type, cnt AS top_cnt
+FROM ranked WHERE rn = 1
+"""
+
+QA_TRENDING_TWO_STAGE = f"""
+WITH slid AS (
+  SELECT
+    CAST(floor(epoch(ts)/{P.TREND_SLIDE_S}) AS BIGINT)*{P.TREND_SLIDE_S} - k.k*{P.TREND_SLIDE_S} AS w_start,
+    event_type
+  FROM events
+  CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+),
+stage1 AS (
+  SELECT w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
+  FROM slid GROUP BY 1, 2
+),
+sampled AS (
+  SELECT w_end - (w_end % {P.SAMPLE_SLIDE_S}) AS sample_w_start, event_type, cnt
+  FROM stage1
+  WHERE (w_end % {P.SAMPLE_SLIDE_S}) < {P.SAMPLE_SIZE_S}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY sample_w_start ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM sampled
+)
+SELECT sample_w_start, event_type AS top_event_type, cnt AS top_cnt
+FROM ranked WHERE rn = 1
+"""
+
+QC_RUNNING_TOTAL = f"""
+WITH per_bucket AS (
+  SELECT CAST(floor(epoch(ts)/{P.RUNNING_BUCKET_S}) AS BIGINT)*{P.RUNNING_BUCKET_S} AS bucket_start,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT bucket_start, cnt,
+       sum(cnt) OVER (ORDER BY bucket_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM per_bucket
+"""
+
+QD_COUNTS_PER_WINDOW = f"""
+SELECT CAST(floor(epoch(ts)/{P.TUMBLE_SIZE_S}) AS BIGINT)*{P.TUMBLE_SIZE_S} AS w_start,
+       CAST(floor(epoch(ts)/{P.TUMBLE_SIZE_S}) AS BIGINT)*{P.TUMBLE_SIZE_S} + {P.TUMBLE_SIZE_S} AS w_end,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+Q_JSON_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       sum(k) AS sum_k,
+       avg(k) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+Q_TOKENIZE_TOPK = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+)
+SELECT token, cnt FROM counts
+ORDER BY cnt DESC, token ASC
+LIMIT {P.TOKEN_TOP_K}
+"""
+
+
+def reference_oracles() -> dict[str, str]:
+    return {
+        "qa_trending_two_stage": QA_TRENDING_TWO_STAGE,
+        "qb_trending_single": QB_TRENDING_SINGLE,
+        "qc_running_total": QC_RUNNING_TOTAL,
+        "qd_counts_per_window": QD_COUNTS_PER_WINDOW,
+        "q_json_extract": Q_JSON_EXTRACT,
+        "q_tokenize_topk": Q_TOKENIZE_TOPK,
+    }

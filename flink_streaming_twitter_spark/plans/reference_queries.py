@@ -1,0 +1,113 @@
+"""Batch twins of the reference's four streaming pipelines (SURVEY.md
+§2.11), parameterized per plans/params.py, over the driver's `events`
+table (event_type plays the hashtag role — FIXTURES.md §2).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the paired oracle SQL in plans/oracles.py exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import per_window_top1, top_k
+from ..operators.windows import running_total, sliding_window_counts, tumbling_counts
+from ..sources.files import load_table
+from . import params as P
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def qb_trending_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-B 'trending hashtag, single stage' (Main.java:104-146): sliding
+    window → per-(window, key) counts → per-window argmax.
+
+    The reference materializes every (hashtag,1) record in window state and
+    runs a HashMap aggregation in the window function (Main.java:112-141);
+    here the same answer is two hash aggregates with map-side partials —
+    the shuffle carries one row per (window, event_type), and the argmax is
+    a max(struct) aggregate, not a sort.
+    """
+    ev = _events(spark, sf_dir)
+    counts = sliding_window_counts(
+        ev, "ts", "event_type", f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+    )
+    return per_window_top1(counts, ["w_start", "w_end"], "event_type").select(
+        "w_start", "w_end", "top_event_type", "top_cnt"
+    )
+
+
+def qa_trending_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-A 'trending hashtag, two stage' (Main.java:85-102): stage-1 keyed
+    sliding-window counts, restamped on window end (P3, Main.java:90-97);
+    stage-2 keeps stage-1 rows whose window-end lands in the first
+    SAMPLE_SIZE of each SAMPLE_SLIDE period (the reference's 1 s-every-5 s
+    sampling window W2, Main.java:98) and takes the argmax per sampling
+    window (maxBy, Main.java:100).
+
+    The sampling window is expressed as modular arithmetic on the stage-1
+    window end — a narrow filter, no second shuffle of raw rows; only the
+    tiny stage-1 aggregate stream is re-aggregated.
+    """
+    ev = _events(spark, sf_dir)
+    stage1 = sliding_window_counts(
+        ev, "ts", "event_type", f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+    )
+    sampled = stage1.withColumn(
+        "sample_w_start",
+        F.col("w_end") - F.col("w_end") % F.lit(P.SAMPLE_SLIDE_S),
+    ).filter(F.col("w_end") % F.lit(P.SAMPLE_SLIDE_S) < F.lit(P.SAMPLE_SIZE_S))
+    return per_window_top1(sampled, ["sample_w_start"], "event_type").select(
+        "sample_w_start", "top_event_type", "top_cnt"
+    )
+
+
+def qc_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-C 'total tweet count' batch twin (Main.java:148-157): cumulative
+    event count sampled per bucket. The streaming form is an ungrouped agg
+    in update mode (streaming/runner.py)."""
+    return running_total(_events(spark, sf_dir), "ts", f"{P.RUNNING_BUCKET_S} seconds")
+
+
+def qd_counts_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-D 'tweets per second' (Main.java:159-175), scaled tumbling count."""
+    return tumbling_counts(_events(spark, sf_dir), "ts", f"{P.TUMBLE_SIZE_S} seconds")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON projection parity (MapToTweet, Main.java:202-219): pull a typed
+    field out of a JSON string column and aggregate it. get_json_object is
+    the point-lookup analog of the reference's Jackson projection; null on
+    malformed input (PERMISSIVE) like the reference's null element."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+        )
+        .select("event_type", "n", "sum_k", "avg_k")
+    )
+
+
+def q_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize→explode→count→top-k (the reference's tokenizer F1 +
+    trending shape, Main.java:180-200) over documents.text with the
+    generic \\w+ token pattern (the corpus has no # sigils).
+
+    TakeOrderedAndProject keeps the top-k selection heap-based per
+    partition — no global sort at any scale.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return top_k(counts, "cnt", P.TOKEN_TOP_K, "token").select("token", "cnt")

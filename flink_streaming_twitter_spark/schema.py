@@ -1,0 +1,71 @@
+"""Schemas for the reference's record types (SURVEY.md §1.1) and the
+driver's synthetic tables (FIXTURES.md §2).
+
+The reference's input record is ``Tweet{text, timestamp_ms, lang}``
+(Tweet.java:14-21); the JSON property carrying event time is ``createdAt``
+(epoch milliseconds — Tweet.java:17-18, used as epoch ms at Main.java:71).
+Parsing is loss-tolerant: unknown properties ignored (Tweet.java:10),
+malformed JSON → null record (Main.java:209-218). ``from_json`` in its
+default PERMISSIVE mode reproduces both behaviors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input stream record (Tweet.java:14-21). JSON property for event time is
+# `createdAt` even though the POJO field is `timestamp_ms`.
+TWEET_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("createdAt", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# Parsed stream element the four pipelines consume (post MapToTweet,
+# Main.java:202-219, plus the event-time projection of Main.java:66-73).
+TWEET_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# Intermediate per-hashtag windowed aggregate (Main.java:81: Tuple3<String,
+# Long, Timestamp>).
+HASHTAG_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("hashtag", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("window_end", T.TimestampType()),
+    ]
+)
+
+# Sink record (InfluxDBPoint.java:24-27). The reference's fields map is
+# Map<String,Object> but only ever holds String/Long (Main.java:230-231,
+# 259, 274), so MAP<STRING,STRING> plus formatting loses nothing.
+INFLUX_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("measurement", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+# Driver synthetic tables (TESTDATA.md). Parquet carries the authoritative
+# schema; these names are for programmatic access.
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

@@ -1,0 +1,110 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables, compare row counts, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def compare(name, spark_df, duck_df) -> list[str]:
+    problems = []
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_df.columns)
+    if s_cols != d_cols:
+        return [f"columns differ: spark={s_cols} duck={d_cols}"]
+    sp = spark_df.toPandas()[s_cols]
+    dp = duck_df[s_cols]
+    if len(sp) != len(dp):
+        problems.append(f"row count differs: spark={len(sp)} duck={len(dp)}")
+        return problems
+    import pandas as pd
+
+    def canon(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    sp, dp = canon(sp), canon(dp)
+    for c in s_cols:
+        a, b = sp[c], dp[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+
+            if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True):
+                bad = (~np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)).sum()
+                problems.append(f"column {c}: {bad} float mismatches, e.g. spark={a.iloc[0]} duck={b.iloc[0]}")
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                neq = (a.astype(str) != b.astype(str))
+                i = neq.idxmax()
+                problems.append(
+                    f"column {c}: {neq.sum()} mismatches, first at row {i}: spark={a[i]} duck={b[i]}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    # vanilla session on purpose: emulates the driver, which does NOT apply
+    # our tuned confs — the engine must self-configure via its choke points
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in osql:
+                n = sdf.count()
+                print(f"[rows-only] {name}: {n} rows ({time.time()-t0:.1f}s)")
+                continue
+            ddf = con.execute(osql[name]).fetchdf()
+            problems = compare(name, sdf, ddf)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            problems = [f"EXCEPTION {type(e).__name__}: {e}"]
+        status = "OK" if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"[{status}] {name} ({time.time()-t0:.1f}s)" + "".join(f"\n    - {p}" for p in problems))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
