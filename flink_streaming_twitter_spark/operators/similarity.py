@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md north-star):
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full corpus — one narrow pass over the big side, no shuffle of vectors;
+  per-query ranking shuffles only (q_id, vec_id, sim) triples. This is
+  the exact baseline every ANN variant is judged against.
+- random-hyperplane LSH: 8 deterministic hyperplanes → 8-bit bucket per
+  vector; candidates are bucket-mates of the query (expected corpus/256
+  per bucket), exact cosine re-rank inside the bucket. The scale path: at
+  100 TB the bucketing is a single hash-partitioned write, queries touch
+  one partition each, and recall/cost is tuned by bits and multi-probe.
+
+All vector math is Catalyst higher-order functions in DOUBLE
+(functions/vectors.py) — no UDFs; cosines are rounded to 6 decimals
+before ranking so results are stable across engines (summation-order
+differences live far below 1e-6).
+
+Hyperplane components are md5-derived rationals (m/1000 with m in
+[-1000, 1000]), so the DuckDB oracle regenerates identical planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim, dot_product
+
+ROUND_DECIMALS = 6
+
+
+def hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component c_{j,d} =
+    ((md5int('hp-j-d') mod 2001) - 1000) / 1000 — exact thousandths, so
+    SQL literals parse to identical doubles."""
+    comps = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"hp-{plane_idx}-{d}".encode()).hexdigest()[:15], 16)
+        comps.append(((h % 2001) - 1000) / 1000.0)
+    return comps
+
+
+def _lit_array(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector: (q_id, vec_id, sim).
+
+    queries is broadcast (it is small by construction); ranking is a
+    row_number window partitioned by q_id — its input is already reduced
+    to scalar triples. Ties broken by vec_id ASC; self-matches excluded.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )
+
+
+def lsh_bucket(vec_col: F.Column, num_planes: int, dim: int) -> F.Column:
+    """8-bit (num_planes-bit) signature: bit j = [round(dot(v, h_j), 6) >= 0]."""
+    bucket = F.lit(0).cast("long")
+    for j in range(num_planes):
+        dot_j = F.round(dot_product(vec_col, _lit_array(hyperplane(j, dim))), ROUND_DECIMALS)
+        bucket = bucket + F.when(dot_j >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to the query's
+    LSH bucket. Deterministic (hash-derived planes, rounded signs) →
+    fully oracle-checkable despite being approximate w.r.t. brute force."""
+    from pyspark.sql import Window
+
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), num_planes, dim).alias("q_bucket"),
+    )
+    sims = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )

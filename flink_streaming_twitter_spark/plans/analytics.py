@@ -1,0 +1,215 @@
+"""Join/aggregation analytics over the TPC-H-ish star schema.
+
+The reference contains no joins at all (SURVEY.md §2.7) — this module is
+the engine's join/sort/agg breadth, built the way the plans must look at
+100 TB:
+
+- dimension sides of joins carry an explicit ``broadcast()`` hint
+  (region/nation/customer are small at any SF; relying on stats-based
+  auto-broadcast is fragile when stats are stale);
+- money arithmetic runs in DECIMAL so partial/final aggregation order can
+  never change the answer (bit-exact vs the DuckDB oracle), cast to DOUBLE
+  only at output;
+- top-k is ORDER BY+LIMIT, which Catalyst executes as
+  TakeOrderedAndProject (per-partition heaps, no global sort);
+- all date filters are pushed-down-able parquet predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+D182 = "decimal(18,2)"
+D184 = "decimal(18,4)"
+
+
+def _dec(col: str, typ: str = D182) -> F.Column:
+    return F.col(col).cast(typ)
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation, the canonical
+    partial→final hash-agg benchmark. Only 6 of 11 lineitem columns are
+    read — column pruning reaches the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+    charge = disc_price * (F.lit(1).cast(D182) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("d_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("d_sum_base"),
+            F.sum(disc_price).alias("d_sum_disc"),
+            F.sum(charge).alias("d_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("d_sum_qty").cast("double").alias("sum_qty"),
+            F.col("d_sum_base").cast("double").alias("sum_base_price"),
+            F.col("d_sum_disc").cast("double").alias("sum_disc_price"),
+            F.col("d_sum_charge").cast("double").alias("sum_charge"),
+            (F.col("d_sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("d_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+            F.col("count_order"),
+        )
+    )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join with a broadcast dimension
+    filter, grouped revenue, deterministic top-10.
+
+    customer(BUILDING) is broadcast into orders; orders⋈lineitem shuffles
+    on orderkey (both sides pre-filtered by pushed-down date predicates —
+    at 100 TB the shuffle carries only the qualifying slice)."""
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("d_revenue"))
+        .select(
+            "l_orderkey",
+            F.col("d_revenue").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("long").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join, revenue per nation.
+
+    The whole dimension arm region→nation→(customer,supplier) is broadcast;
+    only orders⋈lineitem shuffles. The c_nationkey = s_nationkey condition
+    makes 'local' volume — the reference for correct join reordering."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("d_revenue"))
+        .select("n_name", F.col("d_revenue").cast("double").alias("revenue"))
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime order value: fact aggregated FIRST
+    (shuffle carries one row per customer), then the 10 survivors join the
+    dimension — aggregate-before-join is the 100 TB-safe order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("d_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            F.col("d_total").cast("double").alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+    return spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey).select(
+        F.col("o_custkey").alias("c_custkey"), "c_name", "total_spent", "n_orders"
+    )
+
+
+ANALYTICS_QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "top_customers": top_customers,
+}
+
+ANALYTICS_ORACLES = {
+    "tpch_q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_shipping_priority": """
+SELECT l_orderkey,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "tpch_q5_local_supplier_volume": """
+SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    "top_customers": """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  ORDER BY total_spent DESC, o_custkey ASC
+  LIMIT 10
+)
+SELECT o_custkey AS c_custkey, c_name, total_spent, n_orders
+FROM spend JOIN customer ON o_custkey = c_custkey
+""",
+}

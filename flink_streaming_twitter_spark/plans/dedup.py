@@ -1,0 +1,194 @@
+"""Dedup queries() entries + DuckDB oracles.
+
+The oracles re-derive the exact same md5-based hashes, shingles, minhash
+permutations, and band layout as operators/dedup.py (constants flow from
+plans/params.py and functions/hashing.py), so even the approximate
+operators (MinHash LSH, SimHash) are checked value-for-value, not just
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_31, minhash_params_sql
+from ..operators import dedup as D
+from ..sources.files import load_table
+from . import params as P
+
+# ---------------------------------------------------------------- queries
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents")).select(
+        "text_key", "kept_doc_id", "dup_cnt"
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=P.JACCARD_THRESHOLD,
+        max_df=P.JACCARD_MAX_DF,
+        shingle_k=P.SHINGLE_K,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=P.SIMHASH_MAX_HAMMING
+    )
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+# ---------------------------------------------------------------- oracles
+
+# Shared SQL fragments (identical semantics to the Spark operators).
+_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(list_slice(tk, i, i + {P.SHINGLE_K - 1}), ' ')), 1, 15))::BIGINT
+      % 2147483648 AS sh
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - {P.SHINGLE_K - 1}, 1) + 1)) AS i) g
+)
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_key,
+       min(doc_id) AS kept_doc_id,
+       count(*) AS dup_cnt
+FROM documents
+GROUP BY 1
+"""
+
+
+def _minhash_sig_sql(num_perm: int) -> str:
+    params = minhash_params_sql(num_perm)
+    mins = ",\n    ".join(
+        f"min(({a} * sh + {b}) % {MERSENNE_31}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"sigs AS (\n  SELECT doc_id,\n    {mins}\n  FROM shingles GROUP BY doc_id\n)"
+
+
+def _minhash_lsh_sql() -> str:
+    n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
+    rows = n // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+WITH {_SHINGLES},
+{_minhash_sig_sql(n)},
+banded AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, ({eq_sum}) / {float(n)} AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+WHERE ({eq_sum}) / {float(n)} >= {P.MINHASH_EST_THRESHOLD}
+"""
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (
+  SELECT s.doc_id, s.sh
+  FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {P.JACCARD_MAX_DF}) r
+    ON s.sh = r.sh
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_sql() -> str:
+    bits, band_bits = D.SIMHASH_BITS, D.SIMHASH_BAND_BITS
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(bits))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS key FROM fps"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id
+),
+fps AS (SELECT doc_id, ({fp}) AS simhash FROM votes),
+banded AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {P.SIMHASH_MAX_HAMMING}
+"""
+
+
+def dedup_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+    }

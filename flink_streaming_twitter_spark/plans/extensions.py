@@ -13,8 +13,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def extension_queries() -> dict[str, QueryFn]:
-    return {}
+    from .analytics import ANALYTICS_QUERIES
+    from .dedup import DEDUP_QUERIES
+    from .misc import MISC_QUERIES
+    from .similarity import SIMILARITY_QUERIES
+    from .textops import TEXTOPS_QUERIES
+
+    q: dict[str, QueryFn] = {}
+    q.update(ANALYTICS_QUERIES)
+    q.update(DEDUP_QUERIES)
+    q.update(SIMILARITY_QUERIES)
+    q.update(TEXTOPS_QUERIES)
+    q.update(MISC_QUERIES)
+    return q
 
 
 def extension_oracles() -> dict[str, str]:
-    return {}
+    from .analytics import ANALYTICS_ORACLES
+    from .dedup import dedup_oracles
+    from .misc import misc_oracles
+    from .similarity import similarity_oracles
+    from .textops import textops_oracles
+
+    o: dict[str, str] = {}
+    o.update(ANALYTICS_ORACLES)
+    o.update(dedup_oracles())
+    o.update(similarity_oracles())
+    o.update(textops_oracles())
+    o.update(misc_oracles())
+    return o

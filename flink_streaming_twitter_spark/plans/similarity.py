@@ -1,0 +1,102 @@
+"""Similarity-search queries() entries + DuckDB oracles.
+
+The oracle recomputes cosine in explicit DOUBLE arithmetic; both sides
+round to 6 decimals before ranking, which absorbs engine-level summation
+order. Hyperplanes for the LSH variant are regenerated as SQL literals
+from the same md5 derivation the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, hyperplane, lsh_topk
+from ..sources.files import load_table
+from . import params as P
+
+EMB_DIM = 64
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < P.ANN_NUM_QUERIES)
+
+
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return brute_force_topk(corpus, queries, P.ANN_TOP_K)
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return lsh_topk(corpus, queries, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM)
+
+
+SIMILARITY_QUERIES = {
+    "similarity_brute_topk": similarity_brute_topk,
+    "similarity_lsh_topk": similarity_lsh_topk,
+}
+
+_COS = """
+round(
+  list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+  / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+  6)
+"""
+
+BRUTE_SQL = f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < {P.ANN_NUM_QUERIES}),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, {_COS} AS sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
+def _plane_literal(j: int) -> str:
+    comps = hyperplane(j, EMB_DIM)
+    return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+
+
+def _bucket_expr(alias: str) -> str:
+    bits = []
+    for j in range(P.LSH_NUM_PLANES):
+        dot = (
+            f"round(list_dot_product(CAST({alias}.embedding AS DOUBLE[]), {_plane_literal(j)}), 6)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding, bucket AS q_bucket FROM b WHERE vec_id < {P.ANN_NUM_QUERIES}),
+sims AS (
+  SELECT q.q_id, c.vec_id, {_COS} AS sim
+  FROM b c JOIN q ON c.bucket = q.q_bucket
+  WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
+def similarity_oracles() -> dict[str, str]:
+    return {
+        "similarity_brute_topk": BRUTE_SQL,
+        "similarity_lsh_topk": _lsh_sql(),
+    }

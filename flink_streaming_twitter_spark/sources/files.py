@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# tables whose timestamp columns are stored as TIMESTAMP(NANOS) in parquet
-_NANO_TS_COLUMNS = {
+# event-time columns needing normalization to session-UTC TimestampType:
+# events.ts is parquet TIMESTAMP(NANOS) (surfaces as int64 nanos under
+# nanosAsLong); orders/lineitem dates are TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (surface as TIMESTAMP_NTZ in Spark 4)
+_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -35,15 +38,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns surface as int64 nanos under
-    # spark.sql.legacy.parquet.nanosAsLong; project them back to proper
-    # timestamps (microsecond truncation — matches every consumer, which
-    # buckets at >= 1 s granularity).
-    for col_name in _NANO_TS_COLUMNS.get(name, ()):  # noqa: B007
-        if dict(df.dtypes).get(col_name) == "bigint":
+    # Normalize event-time columns to TimestampType interpreted as UTC:
+    # int64 nanos → truncate to micros (consumers bucket at >= 1 s);
+    # TIMESTAMP_NTZ → cast in the UTC session zone (same instant the
+    # DuckDB oracle's naive epoch() computes).
+    dtypes = dict(df.dtypes)
+    for col_name in _TS_COLUMNS.get(name, ()):
+        if dtypes.get(col_name) == "bigint":
             df = df.withColumn(
                 col_name, F.timestamp_micros((F.col(col_name) / 1000).cast("long"))
             )
+        elif dtypes.get(col_name) == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

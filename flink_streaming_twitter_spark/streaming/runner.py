@@ -1,0 +1,126 @@
+"""Structured Streaming forms of the four reference pipelines.
+
+Semantics mapping (SURVEY.md §2.5 T1, §7 hard-parts):
+
+- Flink's ContinuousProcessingTimeTrigger(5 s) with early firing ≈ Spark
+  ``trigger(processingTime='5 seconds')`` + ``outputMode('update')``:
+  every 5 s each changed window emits its current partial aggregate —
+  the same "dashboard refreshes every 5 s with speculative results"
+  behavior; exact firing timestamps differ (documented deviation).
+- The 300 s watermark (Main.java:66-73) maps to
+  ``withWatermark(ts, '300 seconds')``; records later than that are
+  dropped by both engines (no allowedLateness in the reference).
+- Q-A/Q-B's per-window argmax is a second stateful aggregation over a
+  streaming aggregate; update-mode chaining of two aggs is not supported
+  by Structured Streaming, so the top-1 step runs inside foreachBatch on
+  the (tiny) changed-window set of each micro-batch — same observable
+  output cadence as the reference's trigger firings.
+- Q-C's global window + running sum is exactly Spark's ungrouped
+  streaming aggregation in update mode.
+
+State at scale: per-key window state lives in the executor StateStore
+(RocksDB provider on a real cluster — conf
+``spark.sql.streaming.stateStore.providerClass``); watermark eviction
+bounds it to (windows per key in the 300 s horizon).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.topk import per_window_top1
+
+WATERMARK = "300 seconds"
+TRIGGER = "5 seconds"
+
+
+def start_query(
+    df: DataFrame,
+    *,
+    name: str,
+    output_mode: str = "update",
+    trigger_interval: str | None = TRIGGER,
+    sink_format: str = "memory",
+    foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """writeStream wiring shared by every pipeline.
+
+    ``available_now=True`` drains the source and stops — the mode the
+    replay tests use for deterministic stream==batch assertions.
+    """
+    w = df.writeStream.queryName(name).outputMode(output_mode)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        w = w.trigger(processingTime=trigger_interval)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if foreach_batch is not None:
+        return w.foreachBatch(foreach_batch).start()
+    return w.format(sink_format).start()
+
+
+class StreamingPipelines:
+    """The four reference pipelines over any tweet-shaped stream
+    (columns: text/key column + ts TIMESTAMP)."""
+
+    def __init__(self, stream: DataFrame, ts_col: str = "ts", key_col: str = "event_type"):
+        self.stream = stream.withWatermark(ts_col, WATERMARK)
+        self.ts_col = ts_col
+        self.key_col = key_col
+
+    def windowed_counts(self, size: str = "30 seconds", slide: str = "5 seconds") -> DataFrame:
+        """Q-B stage 1 (W3+A3's aggregation half): per-(window, key)
+        counts, update-mode-ready."""
+        return (
+            self.stream.groupBy(
+                F.window(F.col(self.ts_col), size, slide).alias("window"),
+                F.col(self.key_col),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("long").alias("w_start"),
+                F.col("window.end").cast("long").alias("w_end"),
+                F.col(self.key_col),
+                F.col("cnt"),
+            )
+        )
+
+    def trending_foreach_batch(
+        self,
+        collect: Callable[[DataFrame, int], None],
+        size: str = "30 seconds",
+        slide: str = "5 seconds",
+    ) -> Callable[[DataFrame, int], None]:
+        """Q-A/Q-B top-1: argmax over each micro-batch's changed windows
+        (the reference emits top-1 per trigger firing the same way)."""
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            top = per_window_top1(batch_df, ["w_start", "w_end"], self.key_col)
+            collect(top, batch_id)
+
+        return on_batch
+
+    def running_total(self) -> DataFrame:
+        """Q-C (W4+T1+A5): ungrouped streaming agg — Spark's native global
+        window; update mode emits the new running total each trigger."""
+        return self.stream.agg(F.count(F.lit(1)).alias("total"))
+
+    def counts_per_second(self, size: str = "1 second") -> DataFrame:
+        """Q-D (W5+A6): tumbling event-time counts."""
+        return (
+            self.stream.groupBy(F.window(F.col(self.ts_col), size).alias("window"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").cast("long").alias("w_start"), F.col("cnt"))
+        )
+
+    def dedup_within_watermark(self, id_cols: list[str]) -> DataFrame:
+        """Streaming exact dedup with state bounded by the watermark —
+        the streaming twin of operators/dedup.exact_dedup."""
+        return self.stream.dropDuplicatesWithinWatermark(id_cols)

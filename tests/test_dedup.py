@@ -1,0 +1,51 @@
+"""Dedup operator semantics on a corpus with known duplicate structure."""
+
+from __future__ import annotations
+
+from flink_streaming_twitter_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The  Quick  Brown Fox jumps over the lazy dog"),  # normalized dup of 0
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 word)
+    (4, "completely different content about spark engines and distributed joins"),
+    (5, "another unrelated document mentioning streaming watermarks and windows"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r.kept_doc_id: r.dup_cnt for r in out}
+    # 0,1,2 collapse (case/whitespace normalization); 3,4,5 survive alone
+    assert groups == {0: 3, 3: 1, 4: 1, 5: 1}
+
+
+def test_minhash_identical_docs_have_est_one(spark):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_dedup(_docs(spark)).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical text → identical signatures
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard_finds_near_dup_and_scores_exactly(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark)).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # docs 0 and 3 differ in 1 of 9 words → shingle sets overlap 4/10
+    assert (0, 3) not in pairs or pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(_docs(spark)).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == 0  # same token set after lowering
+    assert (0, 4) not in pairs

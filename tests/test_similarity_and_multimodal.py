@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from flink_streaming_twitter_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    frame_sample,
+    payload_metadata,
+)
+from flink_streaming_twitter_spark.operators.similarity import brute_force_topk, lsh_topk
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+    (2, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+    (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def _emb(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(VECS, schema)
+
+
+def test_brute_force_ranks_by_cosine(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=4).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3, 4]
+    sims = {r.vec_id: r.sim for r in out}
+    assert sims[1] == 1.0 and sims[4] == -1.0 and sims[3] == 0.0
+
+
+def test_lsh_bucket_mates_include_identical_vector(spark):
+    emb = _emb(spark)
+    out = lsh_topk(emb, emb.filter("vec_id = 0"), k=4, num_planes=8, dim=4).collect()
+    ids = {r.vec_id for r in out}
+    assert 1 in ids  # identical vector always lands in the same bucket
+    assert 4 not in ids  # opposite vector flips every hyperplane sign
+
+
+def _media(spark):
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"x" * 20, "image/jpeg"),
+        (2, b"\x89PNG\r\n\x1a\n" + b"y" * 9, "image/png"),
+        (3, b"RIFFxxxxWAVE", "audio/wav"),
+        (4, b"\x00payload", "application/octet-stream"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_payload_metadata_sniffs_magic_bytes(spark):
+    out = {r.media_id: r for r in payload_metadata(_media(spark)).collect()}
+    assert out[1].sniffed_format == "jpeg"
+    assert out[2].sniffed_format == "png"
+    assert out[3].sniffed_format == "riff-wav"
+    assert out[4].sniffed_format == "unknown"
+    assert out[1].byte_len == 24 and len(out[1].sha256) == 64
+
+
+def test_decode_media_stub_is_deterministic_arrow_batched(spark):
+    decoded = decode_media(_media(spark))
+    rows1 = {r.media_id: r for r in decoded.collect()}
+    rows2 = {r.media_id: r for r in decode_media(_media(spark)).collect()}
+    assert rows1.keys() == rows2.keys() == {1, 2, 3, 4}
+    for mid in rows1:
+        a, b = rows1[mid], rows2[mid]
+        assert (a.width, a.height, a.n_frames) == (b.width, b.height, b.n_frames)
+        assert len(a.feature) == 8 and a.feature == b.feature
+        assert 1 <= a.width <= 64 and 1 <= a.height <= 64
+
+
+def test_frame_sample_keeps_every_nth(spark):
+    decoded = decode_media(_media(spark))
+    frames = frame_sample(decoded, every_n=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in by_media.items():
+        assert all(i % 4 == 0 for i in idxs)

@@ -1,0 +1,49 @@
+"""JSON ingestion parity with the reference parser (MapToTweet,
+Main.java:202-219; Jackson ignore-unknown per Tweet.java:10)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flink_streaming_twitter_spark.functions.text import hashtags
+from flink_streaming_twitter_spark.sources.kafka import parse_tweets
+
+GOOD = json.dumps(
+    {
+        "text": "hello #Spark world #flink2",
+        "createdAt": 1570508135121,
+        "lang": "en",
+        "unknown_field": {"deeply": ["nested", 1]},
+    }
+)
+NO_TS = json.dumps({"text": "no timestamp here"})
+MALFORMED = '{"text": "broken'
+
+
+def test_parse_projects_three_fields_and_drops_bad_rows(spark):
+    raw = spark.createDataFrame([(GOOD,), (NO_TS,), (MALFORMED,)], ["raw_json"])
+    out = parse_tweets(raw).collect()
+    # malformed JSON → null element dropped (Main.java:209-218 behavior);
+    # missing event time → unusable downstream, dropped likewise
+    assert len(out) == 1
+    row = out[0]
+    assert row.text == "hello #Spark world #flink2"
+    assert row.lang == "en"
+    assert row.ts.isoformat().startswith("2019-10-08")  # epoch ms 1570508135121
+
+
+def test_hashtag_extraction_matches_reference_pattern(spark):
+    # Pattern #\w+ per Main.java:189: stops at punctuation, keeps digits/_
+    df = spark.createDataFrame(
+        [("a #Tag1 then #foo_bar, #x-y and # none #UPPER",)], ["text"]
+    )
+    [r] = df.select(hashtags(F.col("text")).alias("h")).collect()
+    assert r.h == ["#Tag1", "#foo_bar", "#x", "#UPPER"]
+
+
+def test_no_hashtags_yields_empty_array_not_null(spark):
+    df = spark.createDataFrame([("plain text",)], ["text"])
+    [r] = df.select(hashtags(F.col("text")).alias("h")).collect()
+    assert r.h == []
