@@ -64,12 +64,15 @@ def doc_shingles(
 
 
 def minhash_signatures(shingles: DataFrame, num_perm: int, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, mh0..mh{n-1}) — one row per doc; a single hash aggregate
-    computing all permutations' mins in one pass."""
+    """(doc_id, mh0..mh{n-1}, mhs ARRAY) — one row per doc; a single hash
+    aggregate computes every permutation's min in one pass, plus the
+    packed array form that downstream joins carry (one column instead of
+    n — smaller exchanges, zip_with-comparable)."""
     hashes = minhash_exprs("sh", num_perm)
-    return shingles.groupBy(id_col).agg(
+    sig = shingles.groupBy(id_col).agg(
         *[F.min(h).alias(f"mh{i}") for i, h in enumerate(hashes)]
     )
+    return sig.withColumn("mhs", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]))
 
 
 def lsh_candidate_pairs(
@@ -121,16 +124,39 @@ def minhash_lsh_dedup(
     minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard)."""
     sh = doc_shingles(docs, k=shingle_k)
     sigs = minhash_signatures(sh, num_perm)
-    pairs = lsh_candidate_pairs(sigs, num_perm, bands)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_perm)
-    ) / F.lit(float(num_perm))
+    # Carry the packed signature array through the band self-join so the
+    # estimated Jaccard needs NO extra signature joins; the identical
+    # join subtrees hit Spark's ReuseExchange (persist measured slower).
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", "mhs", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "mhs", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    n_eq = F.size(
+        F.filter(F.zip_with(F.col("a.mhs"), F.col("b.mhs"), lambda x, y: x == y), lambda v: v)
+    )
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (n_eq / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+        .distinct()
         .filter(F.col("est_jaccard") >= est_threshold)
     )
 
@@ -150,12 +176,20 @@ def ngram_jaccard_pairs(
     exact). A pair sharing only ultra-common shingles is by construction
     below any useful threshold.
     """
-    sh = doc_shingles(docs, k=shingle_k)
+    # the distinct (doc, shingle) set feeds four consumers (sizes, the
+    # df-filtered index, and both sides of the verification join) —
+    # persist it once instead of recomputing the explode+hash+distinct
+    # lineage per branch
+    sh = doc_shingles(docs, k=shingle_k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
-        "sh",
-    ).select("doc_id", "sh")
+    rare = (
+        sh.join(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
+            "sh",
+        )
+        .select("doc_id", "sh")
+        .persist()  # both sides of the candidate self-join
+    )
     a, b = rare.alias("a"), rare.alias("b")
     cands = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -211,6 +245,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within Hamming distance
     max_hamming, via 4×15-bit band blocking (pigeonhole-complete for
     max_hamming ≤ 3) + exact xor/bit_count verification."""
+    # both sides of the band self-join are identical subtrees →
+    # ReuseExchange computes the vote aggregate once; persist measured
+    # 3x slower here, so deliberately absent
     fps = simhash_fingerprints(docs)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
