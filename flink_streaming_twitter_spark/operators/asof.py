@@ -1,0 +1,65 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively,
+composed from union + window (SURVEY.md extension surface; the classic
+time-series/feature-store primitive).
+
+Algorithm (the scalable formulation): tag right rows, UNION with left,
+one shuffle+sort per key via a window, then ``last(value, ignorenulls)``
+carries the latest right-side value forward onto each left row. Cost is
+a single hash exchange on the key plus an in-partition sort — the same
+shape as any windowed analytic, no range-explosion, no skew beyond the
+key distribution (hot keys → AQE; or split the window by coarse time
+bucket for pathological keys).
+
+The DuckDB oracle intentionally uses DuckDB's *native* ASOF JOIN — an
+independent algorithm validating the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, the ``value_col`` of the latest right row with
+    right_ts < left_ts (strict) or <= (non-strict), matching on key_cols.
+
+    Left rows with no prior right row get NULL. Ties among right rows at
+    identical timestamps are broken by the larger value_col
+    (deterministic).
+    """
+    # marker orders right rows relative to left rows at equal timestamps:
+    # strict → right sorts AFTER left (excluded by the ..-1 frame);
+    # non-strict → right sorts BEFORE left (included).
+    right_marker = 2 if strict else 0
+    lhs = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_m"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    rhs = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_marker).alias("_m"),
+        F.col(value_col).alias("_v"),
+        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts").asc(), F.col("_m").asc(), F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+    return carried.filter(F.col("_m") == 1).select("_row.*", out_col)

@@ -16,6 +16,7 @@ def extension_queries() -> dict[str, QueryFn]:
     from .analytics import ANALYTICS_QUERIES
     from .dedup import DEDUP_QUERIES
     from .misc import MISC_QUERIES
+    from .relational import RELATIONAL_QUERIES
     from .similarity import SIMILARITY_QUERIES
     from .textops import TEXTOPS_QUERIES
 
@@ -25,6 +26,7 @@ def extension_queries() -> dict[str, QueryFn]:
     q.update(SIMILARITY_QUERIES)
     q.update(TEXTOPS_QUERIES)
     q.update(MISC_QUERIES)
+    q.update(RELATIONAL_QUERIES)
     return q
 
 
@@ -35,10 +37,13 @@ def extension_oracles() -> dict[str, str]:
     from .similarity import similarity_oracles
     from .textops import textops_oracles
 
+    from .relational import RELATIONAL_ORACLES
+
     o: dict[str, str] = {}
     o.update(ANALYTICS_ORACLES)
     o.update(dedup_oracles())
     o.update(similarity_oracles())
     o.update(textops_oracles())
     o.update(misc_oracles())
+    o.update(RELATIONAL_ORACLES)
     return o

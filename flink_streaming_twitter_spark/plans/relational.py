@@ -1,0 +1,172 @@
+"""Relational-breadth queries: as-of join, rollup/grouping sets, ranking
+windows, set operations, pivot, distinct aggregation — Spark-native
+operator families absent from the reference (SURVEY.md §2.6/§2.7 notes
+them absent) but required of a complete engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..sources.files import load_table
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the timestamp of that user's most recent STRICTLY prior
+    'error' event (-1 if none) — the point-in-time feature-join shape."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.col("ts").cast("double")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts_s").alias("err_ts")
+    )
+    left = ev.select("event_id", "user_id", "ts_s")
+    out = asof_join_backward(
+        left, errors, ["user_id"], "ts_s", "err_ts", "err_ts", out_col="last_err"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts_s")).cast("long").alias("ts_sec"),
+        F.coalesce(F.floor(F.col("last_err")), F.lit(-1)).cast("long").alias("last_error_sec"),
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): per-type-per-day, per-type, and grand
+    totals in one pass (Catalyst expands to a single shuffle)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit(-1)).alias("day"),
+            "gid",
+            "n",
+        )
+    )
+
+
+def q_user_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by price — the per-group ranking window
+    family (row_number over partitioned sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who clicked but never purchased (EXCEPT) and
+    users who did both (INTERSECT), tagged in one result."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clickers.subtract(buyers).select(
+        "user_id", F.lit("click_no_purchase").alias("segment")
+    )
+    both = clickers.intersect(buyers).select(
+        "user_id", F.lit("click_and_purchase").alias("segment")
+    )
+    return click_only.unionByName(both)
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via pivot (explicit value list keeps the
+    output schema static — mandatory for a streaming-compatible plan and
+    for skipping the extra value-discovery scan)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the expand+two-phase plan) with the
+    total row count alongside."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q_asof_last_error": q_asof_last_error,
+    "q_rollup_counts": q_rollup_counts,
+    "q_user_top_orders": q_user_top_orders,
+    "q_user_segments": q_user_segments,
+    "q_pivot_daily": q_pivot_daily,
+    "q_distinct_users": q_distinct_users,
+}
+
+_PIVOT_COLS = ",\n       ".join(
+    f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS \"{t}\"" for t in EVENT_TYPES
+)
+
+RELATIONAL_ORACLES = {
+    # independent algorithm: DuckDB's native ASOF JOIN (strict backward)
+    "q_asof_last_error": """
+WITH ev AS (SELECT event_id, user_id, epoch(ts) AS ts_s FROM events),
+err AS (SELECT user_id, epoch(ts) AS err_ts FROM events WHERE event_type = 'error')
+SELECT ev.event_id, ev.user_id,
+       CAST(floor(ev.ts_s) AS BIGINT) AS ts_sec,
+       CAST(coalesce(floor(err.err_ts), -1) AS BIGINT) AS last_error_sec
+FROM ev ASOF LEFT JOIN err ON ev.user_id = err.user_id AND ev.ts_s > err.err_ts
+""",
+    "q_rollup_counts": """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, -1) AS day,
+       grouping(event_type) * 2 + grouping(day) AS gid,
+       count(*) AS n
+FROM (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events)
+GROUP BY ROLLUP(event_type, day)
+""",
+    "q_user_top_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+""",
+    "q_user_segments": """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_no_purchase' AS segment FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'click_and_purchase' AS segment FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+""",
+    "q_pivot_daily": f"""
+SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1
+""",
+    "q_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+}

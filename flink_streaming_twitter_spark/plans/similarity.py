@@ -33,9 +33,46 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM)
 
 
+EMB_NEAR_THRESHOLD = 0.35  # synthetic vectors are near-orthogonal; this
+# surfaces the top few percent of pairs (semantics, not magic number)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates restricted to the same
+    LSH bucket (the 100 TB path — Σ_bucket n² work instead of n²), exact
+    cosine verification ≥ threshold. (doc-level dedup via embeddings —
+    the fourth dedup modality after exact/minhash/simhash.)"""
+    from pyspark.sql import functions as FF
+
+    from ..operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    from ..functions.vectors import cosine_sim
+
+    cos = FF.round(cosine_sim(FF.col("x.embedding"), FF.col("y.embedding")), 6)
+    return (
+        x.join(
+            y,
+            (FF.col("x.bucket") == FF.col("y.bucket"))
+            & (FF.col("x.vec_id") < FF.col("y.vec_id")),
+        )
+        .select(
+            FF.col("x.vec_id").alias("vec_a"),
+            FF.col("y.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(FF.col("cos_sim") >= EMB_NEAR_THRESHOLD)
+    )
+
+
 SIMILARITY_QUERIES = {
     "similarity_brute_topk": similarity_brute_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 _COS = """
@@ -95,8 +132,27 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
 
+def _emb_cosine_dedup_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         round(
+           list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))),
+           6) AS cos_sim
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {EMB_NEAR_THRESHOLD}
+"""
+
+
 def similarity_oracles() -> dict[str, str]:
     return {
         "similarity_brute_topk": BRUTE_SQL,
         "similarity_lsh_topk": _lsh_sql(),
+        "dedup_embedding_cosine": _emb_cosine_dedup_sql(),
     }

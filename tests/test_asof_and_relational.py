@@ -1,0 +1,49 @@
+"""As-of join semantics (strict/non-strict, ties, no-match) — the
+union+window formulation in operators/asof.py."""
+
+from __future__ import annotations
+
+from flink_streaming_twitter_spark.operators.asof import asof_join_backward
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "l0"), (1, 20.0, "l1"), (1, 15.0, "l2"), (2, 5.0, "l3")],
+        ["u", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 15.0, 150.0), (2, 99.0, 990.0)], ["u", "rts", "val"]
+    )
+    return left, right
+
+
+def test_strict_backward_excludes_equal_timestamps(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.prior
+        for r in asof_join_backward(
+            left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
+        ).collect()
+    }
+    # l0 at ts=10: right row at 10 is NOT strictly prior -> NULL
+    assert out == {"l0": None, "l1": 150.0, "l2": 100.0, "l3": None}
+
+
+def test_non_strict_includes_equal_timestamps(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.prior
+        for r in asof_join_backward(
+            left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=False
+        ).collect()
+    }
+    assert out == {"l0": 100.0, "l1": 150.0, "l2": 150.0, "l3": None}
+
+
+def test_tie_among_right_rows_picks_greatest_value(spark):
+    left = spark.createDataFrame([(1, 20.0, "x")], ["u", "ts", "tag"])
+    right = spark.createDataFrame([(1, 10.0, 1.0), (1, 10.0, 2.0)], ["u", "rts", "val"])
+    [r] = asof_join_backward(
+        left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
+    ).collect()
+    assert r.prior == 2.0  # deterministic tie-break: larger value wins
