@@ -60,6 +60,19 @@ def minhash_exprs(hash_col: str, num_perm: int) -> list[Column]:
     ]
 
 
+def minhash_set_exprs(set_col: str, num_perm: int) -> list[Column]:
+    """Row-wise MinHash over a packed shingle-hash array: for each
+    permutation i, ``array_min(transform(shs, x -> (a_i*x + b_i) mod p))``.
+    Identical values to min-aggregating the exploded form, with zero
+    shuffle."""
+    def perm(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(set_col), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31))
+        )
+
+    return [perm(a, b) for a, b in _perm_params(num_perm)]
+
+
 def minhash_params_sql(num_perm: int) -> list[tuple[int, int]]:
     """The same (a_i, b_i) pairs for embedding into oracle SQL text."""
     return _perm_params(num_perm)

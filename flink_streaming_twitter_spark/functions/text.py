@@ -51,6 +51,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """31-bit md5-derived hash per k-word shingle, as one row-wise array —
+    the shuffle-free building block for dedup sketches (the hash matches
+    functions.hashing.md5_int31 so DuckDB oracles reproduce it)."""
+    from .hashing import md5_int31
+
+    return F.transform(word_shingles(text, k), md5_int31)
+
+
 def stopword_count(token_array: Column) -> Column:
     return F.size(F.filter(token_array, lambda t: t.isin(*STOPWORDS)))
 

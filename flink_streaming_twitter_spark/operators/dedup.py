@@ -8,11 +8,11 @@ Four tiers, all pure DataFrame compositions (no Python UDFs anywhere):
   near-dup design (Broder; see PAPERS.md). Signatures are 16 universal
   hashes over 3-word shingles; 4 bands × 4 rows ⇒ pairs with Jaccard ≥
   ~0.5 collide in some band with high probability.
-- n-gram Jaccard verification: exact set overlap for candidate pairs
-  found via an inverted shingle index, with a document-frequency cap on
-  shingles (df ≤ max_df) — frequent shingles are non-discriminative and
-  are exactly the ones that would quadratically blow up the index join at
-  100 TB (the classic prefix-filter/stop-shingle optimization).
+- n-gram Jaccard: EXACT all-pairs similarity join via prefix filtering
+  (rarest-first shingle prefixes, AllPairs/PPJoin) + length filtering —
+  lossless candidate pruning whose index join cost tracks near-dup
+  density, not boilerplate shingle frequency, which is what blows up a
+  naive inverted-index join at 100 TB.
 - SimHash: 60-bit fingerprints (md5-derived bit votes), banded 4×15 bits
   so any pair within Hamming distance 3 shares ≥1 band (pigeonhole);
   exact Hamming check via xor+bit_count on candidates only.
@@ -26,11 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int31, md5_int60, minhash_exprs
-from ..functions.text import tokens, word_shingles
+from ..functions.hashing import md5_int60, minhash_set_exprs
+from ..functions.text import tokens, word_shingle_hashes
 
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition with an EXPLICIT partition count (defaultParallelism)
+    so AQE cannot coalesce it away. Used before row-amplifying explodes:
+    AQE sizes shuffles on their *input* bytes, and a pre-explode shuffle is
+    small by construction — letting AQE coalesce it re-serializes the whole
+    amplified tokenize+hash pipeline onto a handful of tasks (measured 2.3x
+    slower at sf0.1, where the one-file parquet scan otherwise pins
+    everything to a single task)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
 
 
 def normalized_text_key(text: F.Column) -> F.Column:
@@ -50,27 +62,51 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def doc_shingles(
+def doc_shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) pairs; the hash (31-bit md5-derived)
-    is what downstream joins and minhashes consume — shuffling 8-byte ints,
-    never shingle strings."""
+    """(doc_id, shs ARRAY<LONG>, sz) — each document's DISTINCT shingle-hash
+    set as a packed array, computed entirely ROW-WISE
+    (`array_distinct(transform(...))`): zero shuffles, zero row
+    amplification. A ~50-shingle doc costs ~200 bytes — orders of magnitude
+    smaller than its text — so carrying the set through later joins is
+    cheap, and per-pair verification becomes an `array_intersect` instead
+    of an exploded join+re-aggregation.
+
+    The input is hash-repartitioned by doc_id first so the per-row
+    tokenize+hash work spreads across the cluster even when the scan has
+    few splits (a single small parquet file would otherwise pin everything
+    to one task; at 100 TB the same shuffle prevents straggler partitions
+    and moves only the raw (id, text) bytes once)."""
+    shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k))
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
-        .select(id_col, md5_int31(F.col("shingle")).alias("sh"))
-        .distinct()
+        _spread(docs, id_col)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), shs.alias("shs"))
+        .withColumn("sz", F.size("shs"))
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, mh0..mh{n-1}, mhs ARRAY) — one row per doc; a single hash
-    aggregate computes every permutation's min in one pass, plus the
-    packed array form that downstream joins carry (one column instead of
-    n — smaller exchanges, zip_with-comparable)."""
-    hashes = minhash_exprs("sh", num_perm)
-    sig = shingles.groupBy(id_col).agg(
-        *[F.min(h).alias(f"mh{i}") for i, h in enumerate(hashes)]
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, sh) pairs — the exploded inverted-index form of
+    doc_shingle_sets (31-bit md5-derived hashes; joins shuffle 8-byte ints,
+    never shingle strings)."""
+    return doc_shingle_sets(docs, id_col, text_col, k).select(
+        id_col, F.explode("shs").alias("sh")
+    )
+
+
+def minhash_signatures(sets: DataFrame, num_perm: int, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, mh0..mh{n-1}, mhs ARRAY) — one row per doc, computed
+    ROW-WISE from the packed shingle set (`array_min(transform(shs, ...))`
+    per permutation): no explode, no aggregation shuffle. num_perm × |shs|
+    integer ops per document is trivial next to moving the exploded
+    (doc, shingle) pairs through an exchange."""
+    sig = sets.select(
+        F.col(id_col),
+        *[h.alias(f"mh{i}") for i, h in enumerate(minhash_set_exprs("shs", num_perm))],
     )
     return sig.withColumn("mhs", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]))
 
@@ -122,11 +158,13 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Candidate near-dup pairs with estimated Jaccard (fraction of equal
     minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard)."""
-    sh = doc_shingles(docs, k=shingle_k)
-    sigs = minhash_signatures(sh, num_perm)
+    # Row-wise signatures have no aggregation exchange for ReuseExchange to
+    # share across the self-join's two sides, so persist the (1 row/doc,
+    # ~100 B) signature table instead of recomputing the tokenize+hash
+    # lineage twice (measured 3.5x on the banded join).
+    sigs = minhash_signatures(doc_shingle_sets(docs, k=shingle_k), num_perm).persist()
     # Carry the packed signature array through the band self-join so the
-    # estimated Jaccard needs NO extra signature joins; the identical
-    # join subtrees hit Spark's ReuseExchange (persist measured slower).
+    # estimated Jaccard needs NO extra signature joins.
     rows = num_perm // bands
     band_structs = F.array(
         *[
@@ -164,52 +202,70 @@ def minhash_lsh_dedup(
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
-    max_df: int = 10,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard similarity for pairs surfaced by the inverted shingle
-    index: (doc_a, doc_b, jaccard).
+    """EXACT all-pairs Jaccard ≥ threshold over k-word shingle sets:
+    (doc_a, doc_b, jaccard). Complete — no false negatives.
 
-    Candidates come only from shingles appearing in ≤ max_df documents;
-    the Jaccard itself is then computed over the FULL shingle sets of each
-    candidate pair (candidate generation is pruned, verification is
-    exact). A pair sharing only ultra-common shingles is by construction
-    below any useful threshold.
+    Candidate generation uses **prefix filtering** (AllPairs/PPJoin
+    lineage; Bayardo et al. WWW'07): order each document's shingles by
+    ascending global document frequency (rarest first, ties by hash) and
+    index only the first ``sz - ceil(t·sz) + 1`` of them. Any pair with
+    Jaccard ≥ t must collide inside these prefixes (pigeonhole on the
+    shared global order), so joining prefixes is lossless while shrinking
+    the inverted index roughly by the threshold — and, critically, the
+    prefix is biased toward RARE shingles, so index buckets stay small and
+    the self-join cost tracks true near-dup density instead of boilerplate
+    frequency. A **length filter** (min(sz) ≥ t·max(sz), necessary for
+    J ≥ t) prunes candidates at join time before the distinct.
+
+    Verification joins each candidate pair to the two packed shingle-set
+    arrays and computes the exact intersection ROW-WISE with
+    `array_intersect` — replacing the exploded verify join (candidates ×
+    avg set size rows through a shuffle + re-aggregation) with one ~200 B
+    array lookup per side and a per-pair merge.
+
+    At 100 TB: joins key on 8-byte hashes / doc ids; the df table and the
+    set table shuffle-join (no broadcast assumption — both scale with the
+    corpus, though AQE will broadcast them when they happen to be small);
+    AQE skew-join covers any residual hot shingle.
     """
-    # the distinct (doc, shingle) set feeds four consumers (sizes, the
-    # df-filtered index, and both sides of the verification join) —
-    # persist it once instead of recomputing the explode+hash+distinct
-    # lineage per branch
-    sh = doc_shingles(docs, k=shingle_k).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = (
-        sh.join(
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
-            "sh",
-        )
-        .select("doc_id", "sh")
-        .persist()  # both sides of the candidate self-join
+    # the packed sets feed the inverted index and both verification sides
+    sets = doc_shingle_sets(docs, k=shingle_k).persist()
+    ex = sets.select("doc_id", "sz", F.explode("shs").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("sh").asc())
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        ex.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sh", "sz")
     )
-    a, b = rare.alias("a"), rare.alias("b")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    length_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= F.lit(threshold) * F.greatest(
+        F.col("a.sz"), F.col("b.sz")
+    )
     cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = (
-        cands.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    seta = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a"))
+    setb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        inter.join(F.broadcast(sza), "doc_a")
-        .join(F.broadcast(szb), "doc_b")
+        cands.join(seta, "doc_a")
+        .join(setb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -220,10 +276,16 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """60-bit SimHash per doc from distinct-token bit votes: (doc_id,
     simhash BIGINT). One explode + one hash aggregate with 60 conditional
-    sums — wide but shallow, fully codegen'd, no UDF."""
+    sums — wide but shallow, fully codegen'd, no UDF. Repartitioned by id
+    pre-explode for the same straggler reason as doc_shingle_sets; token
+    dedup happens row-wise (array_distinct) so no global distinct shuffle
+    is needed before the vote aggregate."""
     tok = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .distinct()
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
         .select(id_col, md5_int60(F.col("tok")).alias("h"))
     )
     votes = tok.groupBy(id_col).agg(

@@ -40,7 +40,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=P.JACCARD_THRESHOLD,
-        max_df=P.JACCARD_MAX_DF,
         shingle_k=P.SHINGLE_K,
     )
 
@@ -123,15 +122,12 @@ WHERE ({eq_sum}) / {float(n)} >= {P.MINHASH_EST_THRESHOLD}
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-rare AS (
-  SELECT s.doc_id, s.sh
-  FROM shingles s
-  JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {P.JACCARD_MAX_DF}) r
-    ON s.sh = r.sh
-),
 cands AS (
+  -- the oracle uses the unpruned inverted index (any shared shingle);
+  -- the Spark side prunes candidates via prefix+length filtering, which
+  -- is LOSSLESS for jaccard >= threshold, so final rows must agree
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter

@@ -36,7 +36,6 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 MINHASH_EST_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
-JACCARD_MAX_DF = 10  # shingles in more docs than this are non-discriminative
 
 # similarity search
 ANN_NUM_QUERIES = 5  # vec_id < 5 are the query vectors
