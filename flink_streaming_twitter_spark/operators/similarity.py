@@ -91,6 +91,85 @@ def lsh_bucket(vec_col: F.Column, num_planes: int, dim: int) -> F.Column:
     return bucket
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_nearest: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its n_nearest centroids by cosine (ties by
+    cent_id ASC): (vec_id, embedding, cent_id). Broadcast cross join —
+    n×ncells distance evaluations with ZERO shuffle of the corpus, which
+    is the canonical IVF build cost and is embarrassingly parallel at
+    100 TB (centroids are ~sqrt(n) rows ⇒ comfortably broadcastable)."""
+    from pyspark.sql import Window
+
+    cents = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cent_id").asc())
+    return (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "cent_id",
+            F.round(cosine_sim(F.col("c_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("c_sim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_nearest)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    seed_mod: int = 53,
+    seed_rem: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: (q_id, vec_id, sim, rank).
+
+    Coarse quantizer: centroids are the corpus vectors with
+    ``vec_id % seed_mod == seed_rem`` (~corpus/seed_mod cells) — a
+    deterministic seeding (k-means with zero Lloyd iterations) so the
+    DuckDB oracle reproduces the index bit-for-bit. Corpus vectors join
+    their single nearest cell; queries probe their ``nprobe`` nearest
+    cells; exact cosine re-rank runs only inside probed cells. Recall/cost
+    is tuned by seed_mod (cell count) and nprobe, exactly as in
+    production IVF — at 100 TB the assignment is a broadcast pass and the
+    probe join touches ~nprobe/ncells of the corpus.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.filter((F.col(id_col) % seed_mod) == seed_rem)
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    probes = (
+        ivf_assign(queries, cents, nprobe, id_col, vec_col)
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id")
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+        )
+        # no distinct needed: each corpus vector lives in exactly one cell
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

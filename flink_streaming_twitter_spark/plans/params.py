@@ -41,6 +41,9 @@ JACCARD_THRESHOLD = 0.5
 ANN_NUM_QUERIES = 5  # vec_id < 5 are the query vectors
 ANN_TOP_K = 5
 LSH_NUM_PLANES = 8
+IVF_SEED_MOD = 53  # centroids: vec_id % mod == rem (~corpus/53 cells)
+IVF_SEED_REM = 7
+IVF_NPROBE = 3
 
 # simhash
 SIMHASH_BITS = 64

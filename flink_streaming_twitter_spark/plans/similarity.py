@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, hyperplane, lsh_topk
+from ..operators.similarity import brute_force_topk, hyperplane, ivf_topk, lsh_topk
 from ..sources.files import load_table
 from . import params as P
 
@@ -31,6 +31,18 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_queries(spark, sf_dir)
     return lsh_topk(corpus, queries, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM)
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return ivf_topk(
+        corpus,
+        queries,
+        P.ANN_TOP_K,
+        nprobe=P.IVF_NPROBE,
+        seed_mod=P.IVF_SEED_MOD,
+        seed_rem=P.IVF_SEED_REM,
+    )
 
 
 EMB_NEAR_THRESHOLD = 0.35  # synthetic vectors are near-orthogonal; this
@@ -72,6 +84,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES = {
     "similarity_brute_topk": similarity_brute_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -132,6 +145,56 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
 """
 
 
+_COS_XY = """
+round(
+  list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.c_vec AS DOUBLE[]))
+  / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(y.c_vec AS DOUBLE[]), CAST(y.c_vec AS DOUBLE[])))),
+  6)
+"""
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+  WHERE vec_id % {P.IVF_SEED_MOD} = {P.IVF_SEED_REM}
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT x.vec_id, x.embedding, y.cent_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_COS_XY} DESC, y.cent_id ASC) AS crank
+    FROM embeddings x CROSS JOIN cents y
+  ) WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cent_id FROM (
+    SELECT x.vec_id, x.embedding, y.cent_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_COS_XY} DESC, y.cent_id ASC) AS crank
+    FROM embeddings x CROSS JOIN cents y
+    WHERE x.vec_id < {P.ANN_NUM_QUERIES}
+  ) WHERE crank <= {P.IVF_NPROBE}
+),
+sims AS (
+  SELECT p.q_id, c.vec_id,
+         round(
+           list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(p.q_vec AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(p.q_vec AS DOUBLE[]), CAST(p.q_vec AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+           6) AS sim
+  FROM assigned c JOIN probes p ON c.cent_id = p.cent_id
+  WHERE c.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
 def _emb_cosine_dedup_sql() -> str:
     return f"""
 WITH b AS (
@@ -154,5 +217,6 @@ def similarity_oracles() -> dict[str, str]:
     return {
         "similarity_brute_topk": BRUTE_SQL,
         "similarity_lsh_topk": _lsh_sql(),
+        "similarity_ivf_topk": _ivf_sql(),
         "dedup_embedding_cosine": _emb_cosine_dedup_sql(),
     }

@@ -8,7 +8,11 @@ from flink_streaming_twitter_spark.operators.multimodal import (
     frame_sample,
     payload_metadata,
 )
-from flink_streaming_twitter_spark.operators.similarity import brute_force_topk, lsh_topk
+from flink_streaming_twitter_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 
 VECS = [
     (0, [1.0, 0.0, 0.0, 0.0]),
@@ -44,6 +48,18 @@ def test_lsh_bucket_mates_include_identical_vector(spark):
     ids = {r.vec_id for r in out}
     assert 1 in ids  # identical vector always lands in the same bucket
     assert 4 not in ids  # opposite vector flips every hyperplane sign
+
+
+def test_ivf_probes_nearest_cells(spark):
+    emb = _emb(spark)
+    # mod=2/rem=0 -> centroids {0,2,4}: three cells spanning the space.
+    # With nprobe=2 the query (vec 0) probes its own cell and the nearest
+    # other; vec 1 (identical, assigned to cell 0) must rank first.
+    out = ivf_topk(emb, emb.filter("vec_id = 0"), k=4, nprobe=2, seed_mod=2, seed_rem=0).collect()
+    best = min(out, key=lambda r: r.rank)
+    assert best.vec_id == 1 and best.sim == 1.0
+    # vec 4 (opposite) lives in the farthest cell, which nprobe=2 skips
+    assert 4 not in {r.vec_id for r in out}
 
 
 def _media(spark):
