@@ -124,3 +124,20 @@ class StreamingPipelines:
         """Streaming exact dedup with state bounded by the watermark —
         the streaming twin of operators/dedup.exact_dedup."""
         return self.stream.dropDuplicatesWithinWatermark(id_cols)
+
+    def session_counts(self, gap: str = "30 seconds") -> DataFrame:
+        """Native session windows over the stream (the streaming twin of
+        operators/sessions.sessionize): per-(key, session) event counts.
+        Sessions finalize (append mode) once the watermark passes
+        session end + gap; state evicts with them."""
+        return (
+            self.stream.groupBy(
+                F.session_window(F.col(self.ts_col), gap).alias("sw"), F.col(self.key_col)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(F.col(self.ts_col).cast("long")).alias("session_start"),
+                F.max(F.col(self.ts_col).cast("long")).alias("session_last"),
+            )
+            .select(self.key_col, "session_start", "session_last", "n_events")
+        )

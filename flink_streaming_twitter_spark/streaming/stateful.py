@@ -1,0 +1,133 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's only stateful surface is windowed aggregation plus an
+orphaned queryable-state demo (QueryableStateClientTest.java:29-44); its
+engine offers no user-defined stateful operator at all. This module is the
+extension path for semantics Spark's built-in stateful operators can't
+express: arbitrary per-key state machines with event-time timeouts.
+
+``stateful_sessionize`` is the worked example — per-user session tracking
+where CLOSED sessions emit as soon as the gap is observed in-stream, and
+OPEN sessions emit when the event-time watermark passes ``last + gap``
+(GroupStateTimeout.EventTimeTimeout). The built-in
+``session_window`` aggregation (operators/sessions.py) answers the same
+final-answer query; this operator exists for the semantics the built-in
+lacks — emit-on-close latency and the option to enrich state transitions —
+and as the template for future custom operators.
+
+Scale: state is one (start, last, n) triple per ACTIVE key (not per
+event); the watermark evicts sessions as they time out, so state size
+tracks concurrent active users, and the Arrow batch transfer amortizes the
+Python hop per micro-batch partition, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_last", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 30,
+) -> DataFrame:
+    """Per-user sessionization as an explicit state machine:
+    (user_id, session_start, session_last, n_events), epochs in seconds.
+
+    A session CLOSES either when a same-user event arrives more than
+    ``gap_seconds`` after the previous one (emitted in that micro-batch)
+    or when the watermark passes ``last + gap`` (event-time timeout).
+    Events are processed in event-time order within each batch; an event
+    older than the open session's last timestamp but within the gap merges
+    (count only — ordering across micro-batches is watermark-bounded, the
+    same guarantee Spark's own session_window state relies on).
+
+    The stream must carry a watermark on ``ts_col`` (EventTimeTimeout
+    requires one).
+    """
+    gap_ms = gap_seconds * 1000
+
+    def on_user(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+
+        def emit(sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                [
+                    {
+                        "user_id": user,
+                        "session_start": s,
+                        "session_last": last,
+                        "n_events": n,
+                    }
+                    for (s, last, n) in sessions
+                ]
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts_sec"].tolist())
+        ts.sort()
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_seconds:
+                last, n = max(last, t), n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        # fire when the watermark passes session end + gap (never in the
+        # past relative to the current watermark, which Spark rejects)
+        timeout_ms = max((last + gap_seconds) * 1000, state.getCurrentWatermarkMs() + gap_ms)
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield emit(closed)
+
+    projected = stream.select(
+        F.col(ts_col),  # keeps the watermark column in scope
+        F.col(user_col).cast("string").alias("user_id"),
+        F.col(ts_col).cast("long").alias("ts_sec"),
+    )
+    return projected.groupBy("user_id").applyInPandasWithState(
+        on_user,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

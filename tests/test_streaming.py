@@ -96,6 +96,75 @@ def test_stream_dedup_within_watermark(spark, replay_dir):
     assert sorted(kinds) == ["a", "b"]
 
 
+def test_stream_session_counts_equal_batch(spark, replay_dir):
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(replay_dir)
+    pipe = StreamingPipelines(stream, "ts", "event_type")
+    q = start_query(
+        pipe.session_counts("3 seconds"),
+        name="sess_stream",
+        output_mode="complete",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    from flink_streaming_twitter_spark.operators.sessions import sessionize
+
+    batch = spark.read.schema(SCHEMA).parquet(replay_dir)
+    expected = {
+        (r.event_type, r.session_start, r.session_last, r.n_events)
+        for r in sessionize(batch, "ts", "event_type", "3 seconds").collect()
+    }
+    got = {
+        (r.event_type, r.session_start, r.session_last, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_stateful_sessionize_emits_closed_and_timed_out_sessions(spark):
+    import shutil
+    import tempfile
+
+    from flink_streaming_twitter_spark.streaming.stateful import stateful_sessionize
+
+    d = tempfile.mkdtemp(prefix="statereplay_")
+    try:
+        user_schema = T.StructType(
+            [T.StructField("ts", T.TimestampType()), T.StructField("user_id", T.StringType())]
+        )
+        # user a: two sessions (gap 3 s splits at +10); user z's late event
+        # drives the watermark far past a's sessions so timeouts fire
+        f1 = [(BASE + dt.timedelta(seconds=s), "a") for s in (0, 1, 2, 10, 11)]
+        f2 = [(BASE + dt.timedelta(seconds=1000), "z")]
+        spark.createDataFrame(f1, user_schema).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.createDataFrame(f2, user_schema).coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema(user_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withWatermark("ts", "1 second")
+        )
+        q = start_query(
+            stateful_sessionize(stream, "ts", "user_id", gap_seconds=3),
+            name="ss_stream",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        got = {
+            (r.user_id, r.session_start - base_epoch, r.session_last - base_epoch, r.n_events)
+            for r in spark.sql("SELECT * FROM ss_stream").collect()
+        }
+        # both of a's sessions must have emitted: the first closed by the
+        # in-stream gap, the second by event-time timeout
+        assert ("a", 0, 2, 3) in got
+        assert ("a", 10, 11, 2) in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_influx_point_shaping_and_line_protocol(spark):
     df = spark.createDataFrame(
         [(BASE, "a", 5)], ["window_end", "hashtag", "cnt"]
