@@ -17,7 +17,7 @@ the engine's join/sort/agg breadth, built the way the plans must look at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table
@@ -150,11 +150,142 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + ungrouped aggregate — the predicate-
+    pushdown showcase. All three filters (date range, discount band,
+    quantity cap) reach the parquet scan as PushedFilters; only 4 columns
+    are read. At 100 TB with date-partitioned files this prunes partitions
+    before opening them."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast(D184))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join. Orders in a quarter that
+    had at least one line item shipped after the order date (late-ship
+    proxy for the missing l_commitdate), counted by priority. The semi
+    join shuffles only (orderkey) pairs and short-circuits on first
+    match — at 100 TB this is strictly cheaper than join+distinct."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    quarter, nation attached, top 20. Aggregate runs on (custkey) BEFORE
+    the dimension joins; customer/nation broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(revenue.alias("d_revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name"),
+            F.col("d_revenue").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with NO orders after a cutoff, counted
+    per market segment. The anti join shuffles only keys and drops a
+    customer on first match — the scalable NOT EXISTS plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    inactive = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_inactive"))
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all 4 grouping combinations in one shuffle
+    (Catalyst Expand), with money in DECIMAL until output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("d_total"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            "gid",
+            "n",
+            F.col("d_total").cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond ranking: per-customer order sequence with
+    LAG (value delta vs previous order) and a running cumulative spend
+    (rows unbounded preceding). One shuffle on custkey serves both."""
+    orders = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("long").alias("order_date_s"),
+        F.col("o_totalprice"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(seq), 2
+        ).alias("delta_vs_prev"),
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_spend"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
     "top_customers": top_customers,
+    "q_inactive_customers": q_inactive_customers,
+    "q_cube_order_stats": q_cube_order_stats,
+    "q_order_deltas": q_order_deltas,
 }
 
 ANALYTICS_ORACLES = {
@@ -211,5 +342,72 @@ WITH spend AS (
 )
 SELECT o_custkey AS c_custkey, c_name, total_spent, n_orders
 FROM spend JOIN customer ON o_custkey = c_custkey
+""",
+    "tpch_q6_forecast_revenue": """
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "tpch_q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    "tpch_q10_returned_items": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS d_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, CAST(d_revenue AS DOUBLE) AS revenue
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q_inactive_customers": """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY c_mktsegment
+""",
+    "q_cube_order_stats": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
+    "q_order_deltas": """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_date_s,
+       o_totalprice,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS delta_vs_prev,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
 """,
 }
