@@ -114,6 +114,47 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize kernel (real path: PIL `Image.resize` /
+    `cv2.resize`). The fake emits a deterministic target_w×target_h-byte
+    'thumbnail' sampled from the payload so size contracts and
+    determinism are testable."""
+    if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("wire PIL/cv2 resize here")
+    n = max(len(payload), 1)
+    return bytes(payload[(i * n) // (target_w * target_h)] for i in range(target_w * target_h))
+
+
+def resize_media(df: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """mapInPandas resize pass: MEDIA_SCHEMA rows → fixed-size thumbnails
+    (media_id, width, height, thumb BINARY). Arrow-batched like
+    decode_media; at 100 TB the batch memory bound is
+    maxPartitionBytes + (rows_per_batch × target_w × target_h)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "thumb": [_resize_payload(bytes(p), target_w, target_h) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling plumbing on decoded media: one output row per kept
     frame index — pure explode arithmetic, no decode."""

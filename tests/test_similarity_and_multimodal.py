@@ -7,6 +7,7 @@ from flink_streaming_twitter_spark.operators.multimodal import (
     decode_media,
     frame_sample,
     payload_metadata,
+    resize_media,
 )
 from flink_streaming_twitter_spark.operators.similarity import (
     brute_force_topk,
@@ -91,6 +92,16 @@ def test_decode_media_stub_is_deterministic_arrow_batched(spark):
         assert (a.width, a.height, a.n_frames) == (b.width, b.height, b.n_frames)
         assert len(a.feature) == 8 and a.feature == b.feature
         assert 1 <= a.width <= 64 and 1 <= a.height <= 64
+
+
+def test_resize_media_produces_fixed_size_thumbnails(spark):
+    out1 = {r.media_id: r for r in resize_media(_media(spark), 8, 8).collect()}
+    out2 = {r.media_id: r for r in resize_media(_media(spark), 8, 8).collect()}
+    assert out1.keys() == {1, 2, 3, 4}
+    for mid in out1:
+        assert (out1[mid].width, out1[mid].height) == (8, 8)
+        assert len(out1[mid].thumb) == 64
+        assert out1[mid].thumb == out2[mid].thumb  # deterministic
 
 
 def test_frame_sample_keeps_every_nth(spark):
