@@ -125,6 +125,53 @@ class StreamingPipelines:
         the streaming twin of operators/dedup.exact_dedup."""
         return self.stream.dropDuplicatesWithinWatermark(id_cols)
 
+    def trending_two_stage_append(
+        self,
+        size: str = "30 seconds",
+        slide: str = "5 seconds",
+        sample_size_s: int = 1,
+        sample_slide_s: int = 5,
+    ) -> DataFrame:
+        """Q-A as ONE streaming query with natively chained stateful
+        aggregations (append mode, Spark ≥ 3.4) — no foreachBatch bridge:
+        stage-1 keyed sliding-window counts → stateless modular filter
+        implementing the reference's sampling window (W2, size < slide;
+        Spark 4's ``window()`` rejects slide > duration, so the gap
+        semantics live in a filter exactly as in the batch twin) →
+        stage-2 re-windows the survivors by their event time
+        (``window_time`` = window.end − 1 µs) into tumbling
+        ``sample_slide_s`` buckets and takes the argmax.
+
+        Because surviving stage-1 window-ends sit in the first
+        ``sample_size_s`` of each slide period, the 1 µs-early window_time
+        falls in the PREVIOUS tumbling bucket; the emitted
+        ``sample_w_start`` adds the slide back so it names the same
+        sampling window as the batch query. This shift is exact when every
+        surviving window-end is slide-aligned, i.e. requires
+        ``sample_size_s <= gcd(stage-1 slide, sample_slide_s)`` — the
+        reference's 1 s/5 s (and any size-1 sampling of slide-aligned
+        windows) satisfies it. Both stages evict state by the one
+        watermark; a sampling window emits once the watermark passes its
+        end.
+        """
+        s1 = self.stream.groupBy(
+            F.window(F.col(self.ts_col), size, slide).alias("window"), F.col(self.key_col)
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        sampled = s1.filter(
+            F.col("window.end").cast("long") % sample_slide_s < sample_size_s
+        )
+        return (
+            sampled.groupBy(
+                F.window(F.window_time("window"), f"{sample_slide_s} seconds").alias("sw")
+            )
+            .agg(F.max(F.struct(F.col("cnt"), F.col(self.key_col))).alias("top"))
+            .select(
+                (F.col("sw.start").cast("long") + sample_slide_s).alias("sample_w_start"),
+                F.col(f"top.{self.key_col}").alias(f"top_{self.key_col}"),
+                F.col("top.cnt").alias("top_cnt"),
+            )
+        )
+
     def session_counts(self, gap: str = "30 seconds") -> DataFrame:
         """Native session windows over the stream (the streaming twin of
         operators/sessions.sessionize): per-(key, session) event counts.

@@ -96,6 +96,54 @@ def test_stream_dedup_within_watermark(spark, replay_dir):
     assert sorted(kinds) == ["a", "b"]
 
 
+def test_stream_chained_two_stage_trending_equals_batch(spark, replay_dir):
+    """Natively chained stateful aggregations (two windowed aggs in ONE
+    append-mode query) must converge to the batch answer for every
+    sampling window the final watermark finalizes."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="chained_")
+    try:
+        # copy the replay rows and add a far-future flush event so the
+        # watermark finalizes every real sampling window
+        rows = [
+            (BASE + dt.timedelta(seconds=s), k)
+            for s, k in [(0, "a"), (1, "a"), (2, "b"), (6, "a"), (7, "b"), (8, "b"), (11, "a")]
+        ]
+        flush = [(BASE + dt.timedelta(seconds=1000), "zz_flush")]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.createDataFrame(flush, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            pipe.trending_two_stage_append("10 seconds", "5 seconds", 1, 5),
+            name="chain_stream",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.sample_w_start, r.top_event_type, r.top_cnt)
+            for r in spark.sql("SELECT * FROM chain_stream").collect()
+        }
+
+        batch_pipe = StreamingPipelines(spark.read.schema(SCHEMA).parquet(d), "ts", "event_type")
+        base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        expected = {
+            (r.sample_w_start, r.top_event_type, r.top_cnt)
+            for r in batch_pipe.trending_two_stage_append("10 seconds", "5 seconds", 1, 5).collect()
+            # only sampling windows the 1000 s flush event finalizes
+            if r.sample_w_start < base_epoch + 900
+        }
+        assert got == expected and len(got) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_session_counts_equal_batch(spark, replay_dir):
     stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(replay_dir)
     pipe = StreamingPipelines(stream, "ts", "event_type")
