@@ -108,8 +108,24 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) next to the exact
+    count — the sketch every 100 TB cardinality query should use (the
+    exact expand+two-phase distinct in q_distinct_users shuffles one row
+    per distinct value; the HLL sketch shuffles a fixed ~KB register set
+    per group). No DuckDB oracle: HLL++ estimates are engine-specific, so
+    the driver records the rows-only check; the pytest suite asserts the
+    estimate lands within 3·rsd of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 RELATIONAL_QUERIES = {
     "q_asof_last_error": q_asof_last_error,
+    "q_approx_distinct_users": q_approx_distinct_users,
     "q_rollup_counts": q_rollup_counts,
     "q_user_top_orders": q_user_top_orders,
     "q_user_segments": q_user_segments,

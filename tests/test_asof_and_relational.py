@@ -40,6 +40,21 @@ def test_non_strict_includes_equal_timestamps(spark):
     assert out == {"l0": 100.0, "l1": 150.0, "l2": 150.0, "l3": None}
 
 
+def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
+    from flink_streaming_twitter_spark.plans.relational import (
+        q_approx_distinct_users,
+        q_distinct_users,
+    )
+
+    exact = {r.event_type: r.n_users for r in q_distinct_users(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.approx_users for r in q_approx_distinct_users(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.03 * n)  # within 3·rsd
+
+
 def test_tie_among_right_rows_picks_greatest_value(spark):
     left = spark.createDataFrame([(1, 20.0, "x")], ["u", "ts", "tag"])
     right = spark.createDataFrame([(1, 10.0, 1.0), (1, 10.0, 2.0)], ["u", "rts", "val"])
