@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): operator semantics vs independent
+Python models on randomized inputs.
+
+Each property batches the generated case into ONE DataFrame round-trip,
+with small max_examples — Spark job latency dominates, so examples are
+few but each covers many rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_streaming_twitter_spark.operators.topk import per_window_top1
+from flink_streaming_twitter_spark.operators.windows import (
+    sampling_filter,
+    sliding_window_counts,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # ts seconds
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_sliding_window_counts_match_python_model(spark, rows):
+    size_s, slide_s = 30, 10
+    df = spark.createDataFrame(
+        [(float(ts), k) for ts, k in rows], ["sec", "key"]
+    ).select(F.timestamp_seconds("sec").alias("ts"), "key")
+    got = {
+        (r.w_start, r.key, r.cnt)
+        for r in sliding_window_counts(df, "ts", "key", f"{size_s} seconds", f"{slide_s} seconds").collect()
+    }
+    # model: event at t belongs to windows starting at slide-aligned s with
+    # s in (t-size, t]
+    expected: dict[tuple[int, str], int] = {}
+    for ts, k in rows:
+        first = (math.floor((ts - size_s) / slide_s) + 1) * slide_s
+        for s in range(first, ts + 1, slide_s):
+            expected[(s, k)] = expected.get((s, k), 0) + 1
+    assert got == {(s, k, n) for (s, k), n in expected.items()}
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_per_window_top1_deterministic_argmax(spark, rows):
+    counts: dict[tuple[int, str], int] = {}
+    for ts, k in rows:
+        counts[(ts % 3, k)] = counts.get((ts % 3, k), 0) + 1
+    df = spark.createDataFrame(
+        [(g, k, n) for (g, k), n in counts.items()], ["g", "key", "cnt"]
+    )
+    got = {
+        (r.g, r.top_key, r.top_cnt) for r in per_window_top1(df, ["g"], "key").collect()
+    }
+    expected = set()
+    for g in {g for (g, _k) in counts}:
+        # documented tie-break: max cnt, ties -> lexicographically greatest key
+        best = max(((n, k) for (gg, k), n in counts.items() if gg == g))
+        expected.add((g, best[1], best[0]))
+    assert got == expected
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_sampling_filter_is_modular_membership(spark, rows):
+    size_s, slide_s = 3, 10
+    df = spark.createDataFrame(
+        [(float(ts), k) for ts, k in rows], ["sec", "key"]
+    ).select(F.timestamp_seconds("sec").alias("ts"), "key")
+    got = [
+        (int(r.ts.timestamp()), r.sample_w_start)
+        for r in sampling_filter(df, "ts", size_s, slide_s).collect()
+    ]
+    for ts, w in got:
+        assert w == (ts // slide_s) * slide_s and ts - w < size_s
+    assert len(got) == sum(1 for ts, _k in rows if ts % slide_s < size_s)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_matches_python_model(spark, texts):
+    """Row-wise MinHash signatures equal an independent Python
+    reimplementation (same md5 derivations) for arbitrary text."""
+    import hashlib
+
+    from flink_streaming_twitter_spark.functions.hashing import (
+        MERSENNE_31,
+        minhash_params_sql,
+    )
+    from flink_streaming_twitter_spark.operators.dedup import (
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sets_df = doc_shingle_sets(docs, k=3)
+    got = {r.doc_id: list(r.mhs) for r in minhash_signatures(sets_df, 8).collect()}
+
+    params = minhash_params_sql(8)
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\w+", t.lower())
+        if not toks:
+            shingle_strs = [""]
+        else:
+            n = len(toks)
+            shingle_strs = [
+                " ".join(toks[j : j + 3]) for j in range(max(n - 2, 1))
+            ]
+        hashes = {
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 31)
+            for s in shingle_strs
+        }
+        expected[i] = [min((a * x + b) % MERSENNE_31 for x in hashes) for a, b in params]
+    assert got == expected
