@@ -22,6 +22,45 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _stream_qb_drain(spark) -> float:
+    """Streaming throughput probe: drain the sf events table through the
+    Q-B pipeline (windowed counts, update mode, availableNow) into a
+    memory sink and return the wall seconds — the Structured Streaming
+    analog of the reference's own tweets/sec self-measurement (Q-D)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.streaming.runner import StreamingPipelines, start_query
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    d = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        counts = pipe.windowed_counts(
+            f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+        )
+        t0 = time.perf_counter()
+        q = start_query(
+            counts, name="bench_stream_qb", output_mode="update", available_now=True
+        )
+        q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
+        spark.catalog.dropTempView("bench_stream_qb")
+        return elapsed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     from flink_streaming_twitter_spark.session import build_session
 
@@ -41,6 +80,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["stream_qb_drain"] = round(_stream_qb_drain(spark), 3)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     out = {
