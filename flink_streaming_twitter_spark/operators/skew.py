@@ -37,7 +37,13 @@ def salted_join(
     ``salt_from``: big-side columns the per-row salt derives from
     (defaults to all of big's columns) — any stable selection works; more
     columns → finer spread.
+
+    Only ``inner`` and ``left`` joins are supported: an unmatched
+    small-side row exists once per salt replica, so right/full joins
+    would emit it n_salts times.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salt_cols: list[Column] = [F.col(c) for c in (salt_from or big.columns)]
     salted_big = big.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_salts)))
     salted_small = small.withColumn(
