@@ -1,0 +1,61 @@
+"""Plan-shape regression guard: the scale-critical physical-plan
+properties SCALE.md documents must keep holding as queries evolve.
+
+Checks run at sf0.001 (plan shape, not data) over EVERY queries() entry:
+- no CartesianProduct anywhere (the only nested-loop joins allowed are
+  broadcast ones, which the similarity operators use deliberately);
+- row-at-a-time Python UDFs never appear (BatchEvalPython); Arrow-batched
+  pandas plans (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+  are the only sanctioned Python surfaces;
+plus targeted assertions: pushdown reaching the q6 scan, broadcast
+dimensions in q5, semi/anti join operators for q4/inactive-customers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: _plan(fn(spark, sf_dir)) for name, fn in entry_mod.queries().items()}
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_q6_filters_reach_parquet_scan(plans):
+    p = plans["tpch_q6_forecast_revenue"]
+    pushed = p.split("PushedFilters:")[1].split("\n")[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_q5_dimensions_broadcast(plans):
+    p = plans["tpch_q5_local_supplier_volume"]
+    # supplier/customer/nation/region must all broadcast (explicit hints);
+    # whether orders x lineitem broadcasts too is size-dependent at toy SF
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_semi_and_anti_joins_planned_as_such(plans):
+    assert "LeftSemi" in plans["tpch_q4_order_priority"]
+    assert "LeftAnti" in plans["q_inactive_customers"]
+
+
+def test_topk_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["tpch_q3_shipping_priority"]
+    assert "TakeOrderedAndProject" in plans["top_customers"]
