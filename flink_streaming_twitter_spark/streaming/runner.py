@@ -66,6 +66,40 @@ def start_query(
     return w.format(sink_format).start()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay_s: int,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join with a time-range condition:
+    pairs where ``left_ts <= right_ts <= left_ts + max_delay_s`` on equal
+    keys (the conversion-funnel / request-response shape). The reference
+    has no joins at all (SURVEY.md §2.7); this is the engine's streaming
+    join surface.
+
+    Both sides carry watermarks and the range condition bounds state in
+    BOTH directions: a left row is droppable once the right watermark
+    passes ``left_ts + max_delay_s``, a right row once the left watermark
+    passes ``right_ts`` — so state is O(rows in the delay+watermark
+    horizon), not O(stream). ``left_ts``/``right_ts`` must be distinct
+    names (rename before calling); key columns are taken from the left.
+    """
+    l, r = left.withWatermark(left_ts, watermark), right.withWatermark(right_ts, watermark)
+    key_eq = [l[k] == r[k] for k in key_cols]
+    rng = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay_s} SECONDS")
+    )
+    joined = l.join(r, key_eq + [rng], "inner")
+    # de-duplicate key columns (present on both sides)
+    keep = [l[k].alias(k) for k in key_cols]
+    others = [c for c in joined.columns if c not in set(key_cols)]
+    return joined.select(*keep, *[F.col(c) for c in others])
+
+
 class StreamingPipelines:
     """The four reference pipelines over any tweet-shaped stream
     (columns: text/key column + ts TIMESTAMP)."""

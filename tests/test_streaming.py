@@ -16,7 +16,11 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_streaming_twitter_spark.streaming.runner import StreamingPipelines, start_query
+from flink_streaming_twitter_spark.streaming.runner import (
+    StreamingPipelines,
+    start_query,
+    stream_interval_join,
+)
 from flink_streaming_twitter_spark.streaming.sinks import influx_line, to_influx_points
 
 SCHEMA = T.StructType(
@@ -209,6 +213,78 @@ def test_stateful_sessionize_emits_closed_and_timed_out_sessions(spark):
         # in-stream gap, the second by event-time timeout
         assert ("a", 0, 2, 3) in got
         assert ("a", 10, 11, 2) in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """Watermarked stream-stream interval join (view→click within 5 s per
+    user) must converge to the batch interval join once drained."""
+    import shutil
+    import tempfile
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    rows = [
+        (BASE + dt.timedelta(seconds=s), u, e)
+        for s, u, e in [
+            (0, "u1", "view"),
+            (2, "u1", "click"),  # joins view@0 (delta 2)
+            (9, "u1", "click"),  # outside 5 s of view@0
+            (1, "u2", "view"),
+            (30, "u2", "click"),  # outside window
+            (3, "u3", "click"),  # no view at all
+            (10, "u1", "view"),
+            (12, "u1", "click"),  # joins view@10
+        ]
+    ]
+    d = tempfile.mkdtemp(prefix="ssjoin_")
+    try:
+        spark.createDataFrame(rows[:4], schema).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.createDataFrame(rows[4:], schema).coalesce(1).write.mode("append").parquet(d)
+
+        def sides(df):
+            views = df.filter(F.col("event_type") == "view").select(
+                "user_id", F.col("ts").alias("view_ts")
+            )
+            clicks = df.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("click_ts")
+            )
+            return views, clicks
+
+        sv, sc = sides(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        q = start_query(
+            stream_interval_join(sv, sc, ["user_id"], "view_ts", "click_ts", 5, "10 seconds"),
+            name="ssj_stream",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, int(r.view_ts.timestamp()), int(r.click_ts.timestamp()))
+            for r in spark.sql("SELECT * FROM ssj_stream").collect()
+        }
+
+        bv, bc = sides(spark.read.schema(schema).parquet(d))
+        expected = {
+            (r.user_id, int(r.view_ts.timestamp()), int(r.click_ts.timestamp()))
+            for r in stream_interval_join(
+                bv, bc, ["user_id"], "view_ts", "click_ts", 5, "10 seconds"
+            ).collect()
+        }
+        base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        assert expected == {
+            ("u1", base_epoch + 0, base_epoch + 2),
+            ("u1", base_epoch + 10, base_epoch + 12),
+        }
+        assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
