@@ -275,8 +275,25 @@ def q_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) of order value per
+    priority — `F.percentile`, not approx_percentile, so the DuckDB
+    quantile_cont oracle matches to the rounding digit. Exact percentile
+    sorts within each group; at 100 TB switch to approx_percentile
+    (t-digest sketch, mergeable partials) and accept the rows-only
+    check, as q_approx_distinct_users does for cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "q_price_percentiles": q_price_percentiles,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
@@ -398,6 +415,15 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
+    "q_price_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
 """,
     "q_order_deltas": """
 SELECT o_custkey, o_orderkey,
