@@ -307,10 +307,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within Hamming distance
     max_hamming, via 4×15-bit band blocking (pigeonhole-complete for
     max_hamming ≤ 3) + exact xor/bit_count verification."""
-    # both sides of the band self-join are identical subtrees →
-    # ReuseExchange computes the vote aggregate once; persist measured
-    # 3x slower here, so deliberately absent
-    fps = simhash_fingerprints(docs)
+    # persist the 1-row/doc fingerprint table across the self-join's two
+    # sides: AQE re-plans the subtrees independently so ReuseExchange does
+    # not fire, and recomputing the 60-sum vote aggregate twice measured
+    # 3x slower than the persisted read
+    fps = simhash_fingerprints(docs).persist()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_structs = F.array(
