@@ -59,9 +59,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist across the self-join: the 8-plane bucket signature is a
+    # per-row HOF pass that AQE would otherwise recompute on both sides
+    # (ReuseExchange doesn't fire under AQE re-planning; measured 3x)
     b = emb.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket")
-    )
+    ).persist()
     x, y = b.alias("x"), b.alias("y")
     from ..functions.vectors import cosine_sim
 
