@@ -127,7 +127,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int,
     nprobe: int = 3,
-    seed_mod: int = 53,
+    seed_mod: int | None = 53,
     seed_rem: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -143,10 +143,18 @@ def ivf_topk(
     is tuned by seed_mod (cell count) and nprobe, exactly as in
     production IVF — at 100 TB the assignment is a broadcast pass and the
     probe join touches ~nprobe/ncells of the corpus.
+
+    ``seed_mod=None`` auto-sizes to ~√n (one count() job): ncells ≈ √n is
+    the standard IVF balance — a FIXED seed_mod makes ncells grow ∝ n and
+    the n×ncells assignment grow ∝ n², measured 5× at a 10× corpus
+    (SCALE.md). The oracle-checked query pins seed_mod for bit-exact
+    reproducibility; deployments should auto-size.
     """
     from pyspark.sql import Window
 
-    cents = corpus.filter((F.col(id_col) % seed_mod) == seed_rem)
+    if seed_mod is None:
+        seed_mod = max(2, int(corpus.count() ** 0.5))
+    cents = corpus.filter((F.col(id_col) % seed_mod) == (seed_rem % seed_mod))
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
     probes = (
         ivf_assign(queries, cents, nprobe, id_col, vec_col)
