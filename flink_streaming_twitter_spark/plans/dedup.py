@@ -50,10 +50,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_verified_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        threshold=P.JACCARD_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+    )
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_lsh_exact": dedup_lsh_exact,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -181,10 +192,50 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {P.SIMHASH_MAX_HAMMING}
 """
 
 
+def _lsh_exact_sql() -> str:
+    """LSH band candidates (same as the minhash oracle) + exact Jaccard
+    verification over full shingle sets (same as the ngram oracle)."""
+    n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
+    rows = n // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES},
+{_minhash_sig_sql(n)},
+banded AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {P.JACCARD_THRESHOLD}
+"""
+
+
 def dedup_oracles() -> dict[str, str]:
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_lsh_exact": _lsh_exact_sql(),
         "dedup_simhash": _simhash_sql(),
     }
