@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from flink_streaming_twitter_spark.operators.dedup import (
     exact_dedup,
+    lsh_verified_jaccard,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -42,6 +43,19 @@ def test_ngram_jaccard_finds_near_dup_and_scores_exactly(spark):
     # docs 0 and 3 differ in 1 of 9 words → shingle sets overlap 4/10
     assert (0, 3) not in pairs or pairs[(0, 3)] < 1.0
     assert (0, 4) not in pairs
+
+
+def test_lsh_verified_jaccard_scores_exactly_on_candidates(spark):
+    """Two-tier pipeline: every emitted pair carries the TRUE Jaccard
+    (identical to the exact all-pairs join for pairs LSH surfaces)."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark)).collect()}
+    tiered = {
+        (r.doc_a, r.doc_b): r.jaccard for r in lsh_verified_jaccard(_docs(spark)).collect()
+    }
+    assert tiered  # identical docs always collide in every band
+    for pair, j in tiered.items():
+        assert exact[pair] == j  # subset with exact scores
+    assert tiered[(0, 1)] == 1.0
 
 
 def test_simhash_identical_docs_distance_zero(spark):
