@@ -112,7 +112,11 @@ def minhash_signatures(sets: DataFrame, num_perm: int, id_col: str = "doc_id") -
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int, bands: int, id_col: str = "doc_id"
+    signatures: DataFrame,
+    num_perm: int,
+    bands: int,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join per band → distinct (doc_a, doc_b).
 
@@ -136,6 +140,7 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    banded = cap_bucket_size(banded, ["band", "sig"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -338,10 +343,35 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def cap_bucket_size(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Boilerplate escape hatch for banded self-joins: drop bucket keys
+    containing more than ``max_bucket`` members before the quadratic
+    join. A bucket of b docs contributes b(b−1)/2 candidate pairs, so one
+    boilerplate bucket (site chrome, license headers) dominates the whole
+    join at scale; capped buckets are overwhelmingly such boilerplate and
+    belong in a separate exact-dedup track. ``None`` disables (the
+    oracle-checked queries run uncapped so DuckDB can reproduce them).
+    """
+    if max_bucket is None:
+        return banded
+    small = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    return banded.join(small, bucket_cols, "left_semi")
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within Hamming distance
     max_hamming, via 4×15-bit band blocking (pigeonhole-complete for
-    max_hamming ≤ 3) + exact xor/bit_count verification."""
+    max_hamming ≤ 3) + exact xor/bit_count verification. ``max_bucket``
+    (opt-in) drops oversized band buckets — see cap_bucket_size."""
     # persist the 1-row/doc fingerprint table across the self-join's two
     # sides: AQE re-plans the subtrees independently so ReuseExchange does
     # not fire, and recomputing the 60-sum vote aggregate twice measured
@@ -363,6 +393,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded = fps.select("doc_id", "simhash", F.explode(band_structs).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.key").alias("key")
     )
+    banded = cap_bucket_size(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

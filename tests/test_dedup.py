@@ -45,6 +45,22 @@ def test_ngram_jaccard_finds_near_dup_and_scores_exactly(spark):
     assert (0, 4) not in pairs
 
 
+def test_bucket_cap_drops_boilerplate_buckets(spark):
+    """max_bucket removes pairs that only meet in oversized buckets:
+    identical docs 0/1/2 share every band bucket (bucket size 3), so a
+    cap of 2 must eliminate their pairs entirely."""
+    pairs_uncapped = {
+        (r.doc_a, r.doc_b) for r in simhash_near_pairs(_docs(spark)).collect()
+    }
+    pairs_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(_docs(spark), max_bucket=2).collect()
+    }
+    assert (0, 1) in pairs_uncapped
+    assert pairs_capped <= pairs_uncapped
+    assert (0, 1) not in pairs_capped
+
+
 def test_lsh_verified_jaccard_scores_exactly_on_candidates(spark):
     """Two-tier pipeline: every emitted pair carries the TRUE Jaccard
     (identical to the exact all-pairs join for pairs LSH surfaces)."""
