@@ -178,6 +178,31 @@ def ivf_topk(
     )
 
 
+def lsh_probe_buckets(vec_col: F.Column, num_planes: int, dim: int, n_probes: int) -> F.Column:
+    """Multi-probe bucket list: the vector's own bucket plus the buckets
+    reached by flipping each of its ``n_probes − 1`` lowest-|margin|
+    hyperplane signs (the planes the vector sits closest to — where a
+    true neighbor most likely landed on the other side). Deterministic:
+    margins are rounded dots; ties break by plane index via the sort on
+    (|dot|, plane)."""
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    F.round(dot_product(vec_col, _lit_array(hyperplane(j, dim))), ROUND_DECIMALS)
+                ).alias("m"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(num_planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, max(n_probes - 1, 0))
+    base = lsh_bucket(vec_col, num_planes, dim)
+    # shiftleft needs a literal bit count; 2^j via pow is exact for j < 31
+    flipped = F.transform(flips, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("long")))
+    return F.concat(F.array(base), flipped)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,10 +211,15 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the query's
-    LSH bucket. Deterministic (hash-derived planes, rounded signs) →
-    fully oracle-checkable despite being approximate w.r.t. brute force."""
+    LSH bucket(s). Deterministic (hash-derived planes, rounded signs) →
+    fully oracle-checkable despite being approximate w.r.t. brute force.
+    ``n_probes > 1`` enables multi-probe (see lsh_probe_buckets): recall
+    rises with probes while per-query cost stays probes × corpus/2^planes
+    — the standard dial at scale, where re-hashing the corpus (more
+    planes) is expensive but probing more buckets is cheap."""
     from pyspark.sql import Window
 
     bucketed = corpus.select(
@@ -198,7 +228,9 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), num_planes, dim).alias("q_bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), num_planes, dim, n_probes)
+        ).alias("q_bucket"),
     )
     sims = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))

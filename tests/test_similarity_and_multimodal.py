@@ -51,6 +51,24 @@ def test_lsh_bucket_mates_include_identical_vector(spark):
     assert 4 not in ids  # opposite vector flips every hyperplane sign
 
 
+def test_lsh_multiprobe_expands_candidates_deterministically(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id = 0")
+    single = {r.vec_id for r in lsh_topk(emb, q, k=4, num_planes=8, dim=4).collect()}
+    multi = {
+        r.vec_id
+        for r in lsh_topk(emb, q, k=4, num_planes=8, dim=4, n_probes=3).collect()
+    }
+    assert single <= multi  # probing more buckets only adds candidates
+    assert 1 in multi  # identical vector still present
+    # deterministic: same call, same result
+    multi2 = {
+        r.vec_id
+        for r in lsh_topk(emb, q, k=4, num_planes=8, dim=4, n_probes=3).collect()
+    }
+    assert multi == multi2
+
+
 def test_ivf_probes_nearest_cells(spark):
     emb = _emb(spark)
     # mod=2/rem=0 -> centroids {0,2,4}: three cells spanning the space.
