@@ -36,19 +36,26 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
-    stop_ratio = n_stop / n_tok
-    uniq_ratio = n_uniq / n_tok
-    score = (
+    # `\w` in Java regex is ASCII-only: a CJK-only document tokenizes to
+    # [] and a bare division would throw under ANSI mode (Spark 4
+    # default) — token-free docs get ratio 0 / quality 0 by definition
+    def ratio(num: F.Column) -> F.Column:
+        return F.when(n_tok > 0, num / n_tok).otherwise(F.lit(0.0))
+
+    stop_ratio = ratio(n_stop)
+    uniq_ratio = ratio(n_uniq)
+    score = F.when(
+        n_tok > 0,
         F.lit(0.4) * uniq_ratio
         + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.2) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    )
+        + F.lit(0.2) * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
-        (nonspace / n_tok).alias("avg_token_len"),
+        ratio(nonspace).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         uniq_ratio.alias("uniq_ratio"),
         score.alias("quality_score"),
