@@ -291,6 +291,125 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    two-level aggregation (orders per customer → customers per count).
+    The left join keeps NULL-extended rows so zero-order customers land
+    in the c_count=0 bucket — the classic histogram-with-empty-groups
+    pattern."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue 'view' + scalar-subquery max — suppliers
+    whose quarter revenue equals the maximum. The max is a broadcast
+    one-row aggregate joined back (Catalyst turns the equality into a
+    single-pass reuse of the view), never a driver-side collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+            ).alias("d_rev")
+        )
+        .select("l_suppkey", F.col("d_rev").cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.mx)
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems with
+    quantity below 20% of their part's average quantity. Decorrelated the
+    scalable way: compute per-part averages once (one aggregation),
+    broadcast-join back, filter — never a per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7).cast(D182))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate (orders whose
+    total quantity exceeds a threshold) — planned as aggregate → semi
+    join, top-20 by price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 100)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("o_orderdate_s"),
+            "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery average + NOT EXISTS — customers
+    with above-average positive balance and no orders, counted per
+    segment. The global average is a broadcast one-row aggregate; the NOT
+    EXISTS is a left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 ANALYTICS_QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "q_price_percentiles": q_price_percentiles,
@@ -299,6 +418,11 @@ ANALYTICS_QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q22_global_sales_opportunity": tpch_q22_global_sales_opportunity,
     "top_customers": top_customers,
     "q_inactive_customers": q_inactive_customers,
     "q_cube_order_stats": q_cube_order_stats,
@@ -415,6 +539,63 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
+    "tpch_q13_customer_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    "tpch_q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    "tpch_q17_small_quantity_revenue": """
+WITH pq AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / CAST(7 AS DECIMAL(18,2)) AS DOUBLE) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pq USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+""",
+    "tpch_q18_large_orders": """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s,
+       o_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    "tpch_q22_global_sales_opportunity": """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
 """,
     "q_price_percentiles": """
 SELECT o_orderpriority,
