@@ -96,6 +96,78 @@ def test_sampling_filter_is_modular_membership(spark, rows):
 
 @given(
     texts=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_matches_python_model(spark, texts):
+    """SimHash fingerprints equal an independent Python reimplementation
+    (md5 bit votes over distinct tokens)."""
+    import hashlib
+    import re
+
+    from flink_streaming_twitter_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = set(re.findall(r"\w+", t.lower()))
+        votes = [0] * SIMHASH_BITS
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        expected[i] = sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
+    # docs with zero tokens produce no fingerprint row (explode drops them)
+    expected = {i: fp for i, fp in expected.items() if re.findall(r"\w+", texts[i].lower())}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # ts
+            st.booleans(),  # left side?
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, rows):
+    from flink_streaming_twitter_spark.operators.asof import asof_join_backward
+
+    left_rows = [(k, float(t), i) for i, (k, t, is_l) in enumerate(rows) if is_l]
+    right_rows = [(k, float(t), float(i)) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    if not left_rows:
+        return
+    left = spark.createDataFrame(left_rows, ["u", "ts", "tag"])
+    if right_rows:
+        right = spark.createDataFrame(right_rows, ["u", "rts", "val"])
+    else:
+        right = spark.createDataFrame([], "u INT, rts DOUBLE, val DOUBLE")
+    got = {
+        r.tag: r.prior
+        for r in asof_join_backward(
+            left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
+        ).collect()
+    }
+    expected = {}
+    for k, t, tag in left_rows:
+        prior = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt < t]
+        # documented tie-break: latest rts, then greatest val
+        expected[tag] = max(prior)[1] if prior else None
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
         st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
     )
 )
