@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_running_total": reference_queries.qc_running_total,
         "qd_counts_per_window": reference_queries.qd_counts_per_window,
         "q_json_extract": reference_queries.q_json_extract,
+        "q_value_by_window": reference_queries.q_value_by_window,
         "q_tokenize_topk": reference_queries.q_tokenize_topk,
     }
     q.update(extensions.extension_queries())

@@ -99,6 +99,19 @@ WHERE k IS NOT NULL
 GROUP BY event_type
 """
 
+Q_VALUE_BY_WINDOW = f"""
+WITH slid AS (
+  SELECT
+    CAST(floor(epoch(ts)/{P.TREND_SLIDE_S}) AS BIGINT)*{P.TREND_SLIDE_S} - k.k*{P.TREND_SLIDE_S} AS w_start,
+    event_type, value
+  FROM events
+  CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+)
+SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slid GROUP BY 1, 2, 3
+"""
+
 Q_TOKENIZE_TOPK = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token FROM documents
@@ -119,5 +132,6 @@ def reference_oracles() -> dict[str, str]:
         "qc_running_total": QC_RUNNING_TOTAL,
         "qd_counts_per_window": QD_COUNTS_PER_WINDOW,
         "q_json_extract": Q_JSON_EXTRACT,
+        "q_value_by_window": Q_VALUE_BY_WINDOW,
         "q_tokenize_topk": Q_TOKENIZE_TOPK,
     }

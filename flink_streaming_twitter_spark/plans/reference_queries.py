@@ -97,6 +97,28 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sliding-window aggregation (A1's sum semantics with a real
+    measure instead of the constant 1): per-(window, event_type) sum of
+    `value`. Summed in DECIMAL so partial/final aggregation order can
+    never change the answer (bit-exact vs the oracle), cast to DOUBLE at
+    output — same money-arithmetic discipline as the TPC-H queries."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value_d", F.col("value").cast("decimal(18,6)")
+    )
+    out = sliding_window_counts(
+        ev,
+        "ts",
+        "event_type",
+        f"{P.TREND_SIZE_S} seconds",
+        f"{P.TREND_SLIDE_S} seconds",
+        weight_col="value_d",
+    )
+    return out.select(
+        "w_start", "w_end", "event_type", F.col("cnt").cast("double").alias("sum_value")
+    )
+
+
 def q_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize→explode→count→top-k (the reference's tokenizer F1 +
     trending shape, Main.java:180-200) over documents.text with the
