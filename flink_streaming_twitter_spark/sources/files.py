@@ -57,6 +57,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str,
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def load_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic batch loader: parquet (self-describing), csv
+    (``header=true`` default; pass an explicit schema — runtime inference
+    costs an extra full scan and is nondeterministic on dirty data), or
+    json (JSON-Lines; same schema advice). All three arrive through the
+    same DataSource scan path, so filters/pruning behave identically —
+    but at 100 TB keep hot tables in parquet: csv/json scans can't push
+    predicates or prune columns."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def stream_from_directory(
     spark: SparkSession,
     path: str,
