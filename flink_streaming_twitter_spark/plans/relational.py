@@ -123,9 +123,26 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per event type: min/max/avg/sample
+    stddev+variance — the describe() family as an oracle-checked query
+    (moments rounded to 6 dp; Spark and DuckDB both use the textbook
+    sample formulas, drift lives far below 1e-6)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.avg("value"), 6).alias("v_avg"),
+        F.round(F.stddev_samp("value"), 6).alias("v_stddev"),
+        F.round(F.var_samp("value"), 6).alias("v_var"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 RELATIONAL_QUERIES = {
     "q_asof_last_error": q_asof_last_error,
     "q_approx_distinct_users": q_approx_distinct_users,
+    "q_value_stats": q_value_stats,
     "q_rollup_counts": q_rollup_counts,
     "q_user_top_orders": q_user_top_orders,
     "q_user_segments": q_user_segments,
@@ -182,6 +199,17 @@ GROUP BY 1
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    "q_value_stats": """
+SELECT event_type,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_avg,
+       round(stddev_samp(value), 6) AS v_stddev,
+       round(var_samp(value), 6) AS v_var,
+       count(*) AS n
 FROM events
 GROUP BY event_type
 """,

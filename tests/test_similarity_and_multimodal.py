@@ -51,6 +51,29 @@ def test_lsh_bucket_mates_include_identical_vector(spark):
     assert 4 not in ids  # opposite vector flips every hyperplane sign
 
 
+def test_pandas_udf_cosine_matches_hof_cosine(spark, sf_dir):
+    """The Arrow-batched numpy cosine and the Catalyst HOF cosine must
+    agree to the rounding digit on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.functions.vectors import (
+        cosine_sim,
+        make_cosine_pandas_udf,
+    )
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    cos_pd = make_cosine_pandas_udf()
+    out = pairs.select(
+        F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("hof"),
+        F.round(cos_pd(F.col("ea"), F.col("eb")), 6).alias("arrow"),
+    ).collect()
+    assert out and all(r.hof == r.arrow for r in out)
+
+
 def test_lsh_multiprobe_expands_candidates_deterministically(spark):
     emb = _emb(spark)
     q = emb.filter("vec_id = 0")
