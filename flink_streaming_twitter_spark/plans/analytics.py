@@ -353,9 +353,12 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(avg_qty), "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(_dec("l_extendedprice")) / F.lit(7).cast(D182))
-            .cast("double")
-            .alias("avg_yearly"),
+            # exact DECIMAL sum, then divide in DOUBLE: DECIMAL/DECIMAL
+            # division scale+rounding rules differ between engines by an
+            # ulp; double division of the identical exact sum does not
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -569,7 +572,7 @@ WITH pq AS (
   WHERE p_brand = 'Brand#1'
   GROUP BY l_partkey
 )
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / CAST(7 AS DECIMAL(18,2)) AS DOUBLE) AS avg_yearly,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 2) AS avg_yearly,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
