@@ -413,6 +413,28 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def q_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per order, the customer's rolling
+    30-day spend (RANGE BETWEEN 30 days PRECEDING AND CURRENT ROW over
+    epoch seconds) — the time-based frame family, distinct from the ROWS
+    frames in q_order_deltas. One shuffle on custkey; frame evaluation is
+    a per-partition sliding sum."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "od_s", F.col("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_s")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("od_s").alias("order_date_s"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "q_price_percentiles": q_price_percentiles,
@@ -430,6 +452,7 @@ ANALYTICS_QUERIES = {
     "q_inactive_customers": q_inactive_customers,
     "q_cube_order_stats": q_cube_order_stats,
     "q_order_deltas": q_order_deltas,
+    "q_trailing_30d_spend": q_trailing_30d_spend,
 }
 
 ANALYTICS_ORACLES = {
@@ -608,6 +631,14 @@ SELECT o_orderpriority,
        count(*) AS n
 FROM orders
 GROUP BY o_orderpriority
+""",
+    "q_trailing_30d_spend": """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_date_s,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM orders
 """,
     "q_order_deltas": """
 SELECT o_custkey, o_orderkey,

@@ -104,8 +104,14 @@ class StreamingPipelines:
     """The four reference pipelines over any tweet-shaped stream
     (columns: text/key column + ts TIMESTAMP)."""
 
-    def __init__(self, stream: DataFrame, ts_col: str = "ts", key_col: str = "event_type"):
-        self.stream = stream.withWatermark(ts_col, WATERMARK)
+    def __init__(
+        self,
+        stream: DataFrame,
+        ts_col: str = "ts",
+        key_col: str = "event_type",
+        watermark: str = WATERMARK,
+    ):
+        self.stream = stream.withWatermark(ts_col, watermark)
         self.ts_col = ts_col
         self.key_col = key_col
 

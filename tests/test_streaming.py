@@ -289,6 +289,48 @@ def test_stream_interval_join_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_file_sink_is_exactly_once(spark, replay_dir):
+    """The parquet file sink + checkpoint is the durable exactly-once
+    path (unlike the reference's non-transactional InfluxDB writes):
+    draining the same source twice against the same checkpoint must not
+    duplicate rows — the second run is a no-op."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="filesink_out_")
+    ckpt = tempfile.mkdtemp(prefix="filesink_ckpt_")
+    try:
+        def drain():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay_dir)
+            )
+            # short watermark so the 11 s replay finalizes windows for
+            # append mode (the production 300 s would finalize nothing)
+            pipe = StreamingPipelines(stream, "ts", "event_type", watermark="1 second")
+            q = (
+                pipe.counts_per_second("5 seconds")
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        first = spark.read.parquet(out).collect()
+        drain()  # same checkpoint: no new data -> no new files
+        second = spark.read.parquet(out).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+        assert len(first) > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_influx_point_shaping_and_line_protocol(spark):
     df = spark.createDataFrame(
         [(BASE, "a", 5)], ["window_end", "hashtag", "cnt"]
