@@ -60,8 +60,44 @@ def dedup_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: union the pairwise evidence (exact-dup
+    pairs + MinHash-LSH near-dup pairs), run connected components
+    (operators/graph.py), and emit one row per document with its cluster
+    id and the keep decision (keep = min doc_id of the cluster). The
+    iterative-algorithm entry of the suite — oracle-checked via a DuckDB
+    recursive CTE computing the same min-reachable-id labels."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_pairs = (
+        docs.select(D.normalized_text_key(F.col("text")).alias("text_key"), "doc_id")
+        .withColumn("kept", F.min("doc_id").over(Window.partitionBy("text_key")))
+        .filter(F.col("doc_id") != F.col("kept"))
+        .select(F.col("kept").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    near_pairs = D.minhash_lsh_dedup(
+        docs,
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(
+        exact_pairs.union(near_pairs), nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_kept"),
+    )
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_lsh_exact": dedup_lsh_exact,
@@ -231,9 +267,60 @@ WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {P.JACCARD_THRESHOL
 """
 
 
+def _clusters_sql() -> str:
+    """Same edge set (exact-dup star edges + MinHash-LSH pairs), closure
+    via recursive CTE, min reachable id per node."""
+    n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
+    rows = n // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+{_minhash_sig_sql(n)},
+banded AS (
+{band_selects}
+),
+near_pairs AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE (SELECT ({eq_sum}) / {float(n)}
+         FROM sigs sa, sigs sb
+         WHERE sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id) >= {P.MINHASH_EST_THRESHOLD}
+),
+exact_pairs AS (
+  SELECT kept AS src, doc_id AS dst FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS kept
+    FROM documents
+  ) WHERE doc_id <> kept
+),
+edges AS (
+  SELECT src AS s, dst AS d FROM exact_pairs
+  UNION SELECT dst, src FROM exact_pairs
+  UNION SELECT src, dst FROM near_pairs
+  UNION SELECT dst, src FROM near_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       CASE WHEN id = min(r) THEN 1 ELSE 0 END AS is_kept
+FROM reach GROUP BY id
+"""
+
+
 def dedup_oracles() -> dict[str, str]:
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_clusters": _clusters_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_lsh_exact": _lsh_exact_sql(),
