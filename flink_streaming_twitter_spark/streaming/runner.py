@@ -212,6 +212,34 @@ class StreamingPipelines:
             )
         )
 
+    def enriched_counts(
+        self, dim: DataFrame, on: str, dim_attr: str, size: str = "30 seconds"
+    ) -> DataFrame:
+        """Stream-static join + windowed aggregation: each micro-batch
+        joins the (re-read, so updatable) static dimension — Spark's
+        broadcast-dimension enrichment for streams; no state beyond the
+        window aggregate."""
+        return (
+            self.stream.join(F.broadcast(dim), on)
+            .groupBy(F.window(F.col(self.ts_col), size).alias("window"), F.col(dim_attr))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("long").alias("w_start"), F.col(dim_attr), "cnt"
+            )
+        )
+
+    def observed(self, df: DataFrame, name: str = "engine_metrics") -> DataFrame:
+        """Attach per-batch observed metrics (row count + min/max event
+        time) — the Structured Streaming analog of the reference job
+        measuring its own throughput (Q-D / TweetPerSecondCountFlink,
+        Main.java:159-175); read from query.lastProgress.observedMetrics."""
+        return df.observe(
+            name,
+            F.count(F.lit(1)).alias("rows"),
+            F.min(self.ts_col).alias("min_ts"),
+            F.max(self.ts_col).alias("max_ts"),
+        )
+
     def session_counts(self, gap: str = "30 seconds") -> DataFrame:
         """Native session windows over the stream (the streaming twin of
         operators/sessions.sessionize): per-(key, session) event counts.

@@ -289,6 +289,48 @@ def test_stream_interval_join_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_static_join_enrichment_equals_batch(spark, replay_dir):
+    dim = spark.createDataFrame(
+        [("a", "alpha_team"), ("b", "beta_team")], ["event_type", "team"]
+    )
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(replay_dir)
+    pipe = StreamingPipelines(stream, "ts", "event_type")
+    q = start_query(
+        pipe.enriched_counts(dim, "event_type", "team", "10 seconds"),
+        name="enrich_stream",
+        output_mode="complete",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w_start, r.team): r.cnt for r in spark.sql("SELECT * FROM enrich_stream").collect()
+    }
+    batch_pipe = StreamingPipelines(
+        spark.read.schema(SCHEMA).parquet(replay_dir), "ts", "event_type"
+    )
+    expected = {
+        (r.w_start, r.team): r.cnt
+        for r in batch_pipe.enriched_counts(dim, "event_type", "team", "10 seconds").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_observed_metrics_report_batch_row_counts(spark, replay_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(replay_dir)  # one batch: all files
+    pipe = StreamingPipelines(stream, "ts", "event_type")
+    q = start_query(
+        pipe.observed(pipe.stream.select("ts", "event_type")),
+        name="obs_stream",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p["observedMetrics"].get("engine_metrics")]
+    assert progresses, "no observed metrics reported"
+    total_rows = sum(p["observedMetrics"]["engine_metrics"]["rows"] for p in progresses)
+    assert total_rows == 7  # every replayed row was observed
+
+
 def test_streaming_file_sink_is_exactly_once(spark, replay_dir):
     """The parquet file sink + checkpoint is the durable exactly-once
     path (unlike the reference's non-transactional InfluxDB writes):
