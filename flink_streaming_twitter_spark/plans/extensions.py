@@ -19,9 +19,11 @@ def extension_queries() -> dict[str, QueryFn]:
     from .relational import RELATIONAL_QUERIES
     from .similarity import SIMILARITY_QUERIES
     from .textops import TEXTOPS_QUERIES
+    from .tpch_extra import TPCH_EXTRA_QUERIES
 
     q: dict[str, QueryFn] = {}
     q.update(ANALYTICS_QUERIES)
+    q.update(TPCH_EXTRA_QUERIES)
     q.update(DEDUP_QUERIES)
     q.update(SIMILARITY_QUERIES)
     q.update(TEXTOPS_QUERIES)
@@ -38,9 +40,11 @@ def extension_oracles() -> dict[str, str]:
     from .textops import textops_oracles
 
     from .relational import RELATIONAL_ORACLES
+    from .tpch_extra import TPCH_EXTRA_ORACLES
 
     o: dict[str, str] = {}
     o.update(ANALYTICS_ORACLES)
+    o.update(TPCH_EXTRA_ORACLES)
     o.update(dedup_oracles())
     o.update(similarity_oracles())
     o.update(textops_oracles())

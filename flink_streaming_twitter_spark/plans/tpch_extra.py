@@ -1,0 +1,556 @@
+"""The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q14/Q16/Q19/Q20/Q21),
+adapted to the reduced synthetic schema (no partsupp, no
+commit/receipt dates, no shipmode/container columns — each adaptation
+preserves the SHAPE that makes the query a distinct optimizer/execution
+test and notes the substitution).
+
+Together with plans/analytics.py this completes all 22 TPC-H shapes. The
+reference repo has no joins at all (SURVEY.md §2.7, Main.java:63-175),
+so this module is pure capability breadth; the plans follow the same
+100 TB discipline as analytics.py: broadcast dimension arms, DECIMAL
+money, aggregate-before-join where legal, semi/anti joins instead of
+join+distinct, TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+from .analytics import D182, D184, _dec
+
+_DISC = lambda: (_dec("l_extendedprice") * (F.lit(1).cast(D182) - _dec("l_discount"))).cast(D184)
+_DISC_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each qualifying part,
+    the EUROPE supplier offering the minimum unit price. partsupp is
+    absent, so 'supply cost' is the minimum observed unit sale price
+    (l_extendedprice/l_quantity) per (part, supplier) from lineitem; the
+    decorrelation (per-part window min + equality filter, Catalyst's own
+    rewrite of the correlated form) and the snowflake dimension arm are
+    the Q2 shape. Dimension arm broadcast; lineitem shuffles once on
+    partkey for the offer aggregate."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            # raw double: min of identical IEEE divisions is bit-identical
+            # across engines, so no rounding is needed (or wanted — a
+            # boundary-case round could disagree)
+            F.col("cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume — the same nation
+    dimension joined TWICE under different roles (supplier side, customer
+    side) with a disjunctive pair predicate, grouped by (supp_nation,
+    cust_nation, year). Both nation arms broadcast; only orders⋈lineitem
+    shuffles."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_DISC()).alias("d_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("d_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional-sum ratio
+    (sum(CASE)/sum) per year over a two-region snowflake: AMERICA
+    customers buying PROMO parts, share attributed to NATION_3 suppliers.
+    Numerator and denominator are exact DECIMAL sums divided in double
+    (the q17 cross-engine lesson)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_arm = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _DISC()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_arm), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast(D184))).alias("d_num"),
+            F.sum(vol).alias("d_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("d_num").cast("double") / F.col("d_den").cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over parts
+    matching a LIKE pattern. ps_supplycost is absent; unit cost is proxied
+    as 60% of p_retailprice, preserving the profit = revenue − cost·qty
+    expression tree and the LIKE-filtered multi-join."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # two EXACT DECIMAL sums (revenue; retailprice·qty cost base), the 0.6
+    # factor applied once in double at output — a single DECIMAL product
+    # stays within precision 38 where a triple product would overflow and
+    # engines cap/round the excess differently
+    cost_base = (_dec("p_retailprice") * _dec("l_quantity")).cast(D184)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(_DISC()).alias("d_rev"), F.sum(cost_base).alias("d_cost"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("d_rev").cast("double") - F.lit(0.6) * F.col("d_cost").cast("double")).alias(
+                "sum_profit"
+            ),
+        )
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: GROUP BY ... HAVING sum > scalar-subquery-fraction
+    of the global sum. partsupp value is proxied by each part's sales value
+    through NATION_5 suppliers; the scalar subquery decorrelates to a
+    1-row broadcast cross join (Catalyst's own plan for uncorrelated
+    scalar subqueries)."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey"
+    )
+    vals = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("d_value"))
+    )
+    total = vals.agg(F.sum("d_value").alias("d_total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("d_value") > F.lit(0.001).cast(D184) * F.col("d_total").cast(D184))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("d_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + dual conditional aggregation (high/low
+    priority line counts). shipmode is absent, so groups are l_returnflag
+    and 'late' means shipped >30 days after the order date within 1997
+    (commit/receipt dates are absent); the CASE-sum pair is the shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue percentage over one month —
+    100 · sum(CASE promo)/sum(all), exact DECIMAL sums divided in
+    double. Part dimension broadcast into the date-pruned lineitem scan."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    vol = _DISC()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast(D184))).alias("d_promo"),
+            F.sum(vol).alias("d_all"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("d_promo").cast("double") / F.col("d_all").cast("double")).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part spec with a
+    NOT-IN supplier exclusion (negative account balance stands in for the
+    'complaints' comment scan) — anti join + distinct aggregation. Counts
+    come from lineitem (partsupp absent)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (three brand/size/
+    quantity bands). Catalyst pushes the common partkey equi-condition
+    into the join and evaluates the disjunction as a post-join filter;
+    the shared p_size/l_quantity conjuncts stay pushdown-able."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(_DISC()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers (in NATION_9)
+    that moved >40 units of any 'red…' part during 1997. availqty is
+    absent, so the inner correlated-agg subquery runs on shipped
+    quantities; the chain is part-filter → per-(supplier, part) HAVING
+    agg → distinct-supplier semi join → dimension join, all semi joins
+    (never join+distinct)."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    supp = load_table(spark, sf_dir, "supplier")
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("d_qty"))
+        .filter(F.col("d_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(movers), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact — NATION_9 suppliers that were the ONLY late shipper on a
+    multi-supplier finished order. 'Late' is shipped >30 days after the
+    order date (receipt/commit dates absent). The EXISTS becomes a left
+    semi join and the NOT EXISTS a left anti join on (orderkey,
+    suppkey≠) — each shuffles only key pairs."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30).alias("late"),
+    )
+    l1 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    others = lines.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"), "late"
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        ).join(
+            others.filter(F.col("late")),
+            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+TPCH_EXTRA_QUERIES = {
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q12_late_shipments": tpch_q12_late_shipments,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q16_supplier_count": tpch_q16_supplier_count,
+    "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
+    "tpch_q20_excess_inventory": tpch_q20_excess_inventory,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+}
+
+TPCH_EXTRA_ORACLES = {
+    "tpch_q2_min_cost_supplier": """
+WITH offers AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+  GROUP BY 1,2,3,4,5
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, cost AS supply_cost
+FROM offers
+QUALIFY cost = min(cost) OVER (PARTITION BY p_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+    "tpch_q7_volume_shipping": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+    "tpch_q8_market_share": f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {_DISC_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum({_DISC_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA')
+GROUP BY 1
+""",
+    "tpch_q9_product_profit": f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_DISC_SQL}) AS DOUBLE)
+       - 0.6 * CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""",
+    "tpch_q11_important_stock": """
+WITH vals AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS d_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(d_value AS DOUBLE) AS part_value
+FROM vals
+WHERE d_value > CAST(0.001 AS DECIMAL(18,4)) * (SELECT CAST(sum(d_value) AS DECIMAL(18,4)) FROM vals)
+""",
+    "tpch_q12_late_shipments": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND date_diff('day', o_orderdate, l_shipdate) > 30
+GROUP BY l_returnflag
+""",
+    "tpch_q14_promo_revenue": f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum({_DISC_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    "tpch_q16_supplier_count": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "tpch_q19_disjunctive_revenue": f"""
+SELECT CAST(sum({_DISC_SQL}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q20_excess_inventory": """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+""",
+    "tpch_q21_waiting_suppliers": """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 30 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late
+)
+SELECT s_name, count(*) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND EXISTS (SELECT 1 FROM lines o WHERE o.l_orderkey = l1.l_orderkey
+              AND o.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines o WHERE o.l_orderkey = l1.l_orderkey
+                  AND o.l_suppkey <> l1.l_suppkey AND o.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+}
