@@ -39,8 +39,14 @@ def connected_components(
     ``nodes`` optionally supplies isolated vertices (no edges), each its
     own singleton component. Raises if max_iter rounds don't converge.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # materialize the edge list ONCE: it is re-joined every round, and its
+    # upstream lineage is typically the expensive part (e.g. a MinHash-LSH
+    # candidate pipeline) — without this, every iteration AND every
+    # convergence count re-executes that whole pipeline
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint()
     )
     # iterate ONLY the edge-endpoint subgraph: isolated vertices are
     # singleton components by definition and joining them through every
