@@ -1,4 +1,5 @@
-"""Sessionization + multimodal metadata queries() entries + oracles."""
+"""Sessionization + multimodal metadata + range-join queries() entries
+and oracles."""
 
 from __future__ import annotations
 
@@ -6,10 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import payload_metadata
+from ..operators.rangejoin import range_join
 from ..operators.sessions import sessionize
 from ..sources.files import load_table
 
 SESSION_GAP_S = 1800
+RANGE_WINDOW_S = 600
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,9 +38,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "byte_len", F.col("sha256"), bucket.alias("size_bucket"))
 
 
+def q_range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join (operators/rangejoin.py): each
+    error event opens a 10-minute window; count/sum the purchases whose
+    timestamp falls inside it. No equi key exists, so a naive formulation
+    is a nested-loop join — the bucketed decomposition makes it a plain
+    shuffled equi-join on the bucket id. Purchase values summed in
+    DECIMAL (order-independent), cast to double at output."""
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS")).alias("err_end"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("value").cast("decimal(18,6)").alias("p_value")
+    )
+    return (
+        range_join(purch, errs, "p_ts", "err_start", "err_end", RANGE_WINDOW_S)
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchase_cnt"),
+            F.sum("p_value").cast("double").alias("purchase_value"),
+        )
+    )
+
+
 MISC_QUERIES = {
     "events_sessionize": events_sessionize,
     "multimodal_meta": multimodal_meta,
+    "q_range_join_error_impact": q_range_join_error_impact,
 }
 
 EVENTS_SESSIONIZE_SQL = f"""
@@ -73,8 +103,22 @@ FROM documents
 """
 
 
+RANGE_JOIN_SQL = f"""
+WITH err AS (
+  SELECT event_id AS err_id, ts AS s, ts + INTERVAL {RANGE_WINDOW_S} SECOND AS e
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT ts, CAST(value AS DECIMAL(18,6)) AS v FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id, count(*) AS purchase_cnt, CAST(sum(v) AS DOUBLE) AS purchase_value
+FROM pur JOIN err ON pur.ts >= err.s AND pur.ts < err.e
+GROUP BY err_id
+"""
+
+
 def misc_oracles() -> dict[str, str]:
     return {
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
+        "q_range_join_error_impact": RANGE_JOIN_SQL,
     }
