@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 
 SESSION_OUT_SCHEMA = T.StructType(
     [
@@ -130,4 +135,87 @@ def stateful_sessionize(
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("dedup_key", T.StringType()),
+        T.StructField("first_ts", T.LongType()),
+        T.StructField("batch_dups", T.LongType()),
+    ]
+)
+
+
+class _KeepFirstProcessor(StatefulProcessor):
+    """State per key: the first-seen epoch second. Emits exactly one row
+    per key lifetime (or per TTL period when a TTL is set)."""
+
+    def __init__(self, ttl_ms: int | None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "first_ts LONG", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        earliest, n = None, 0
+        for pdf in rows:
+            n += len(pdf)
+            m = int(pdf["ts_sec"].min())
+            earliest = m if earliest is None else min(earliest, m)
+        if self._seen.exists():
+            return
+        self._seen.update((earliest,))
+        yield pd.DataFrame(
+            [{"dedup_key": key[0], "first_ts": earliest, "batch_dups": n - 1}]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_dedup_keep_first(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Continuous keep-first dedup on Spark 4's state API v2
+    (``transformWithStateInPandas``): the first record of each key emits
+    ``(dedup_key, first_ts, batch_dups)``; every later sighting is
+    swallowed. The training-pipeline contract: a downstream consumer sees
+    each document key exactly once.
+
+    Differs from the built-in ``dropDuplicatesWithinWatermark`` in the
+    state-retention axis: that bounds state by EVENT time (watermark),
+    this bounds it by per-key processing-time TTL (``ttl_ms``) — native
+    state-store TTL, no timers to manage. ``ttl_ms=None`` keeps state
+    forever (exact global dedup; state grows with distinct keys — at
+    100 TB pair it with a TTL or run the batch ``exact_dedup`` compaction
+    periodically). With a TTL, a key re-admits after ``ttl_ms`` of no
+    state refresh — the standard bounded-state tradeoff.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — a hard requirement of
+    transformWithState, and the store you'd pick for large keyed state
+    anyway (off-heap, incremental-checkpoint).
+
+    Cross-batch "first" follows processing order (the batch that arrives
+    first wins; within a batch, the minimum ``ts_col`` wins) — same
+    semantics as the reference's at-least-once sink path, documented.
+    """
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("dedup_key"),
+        F.col(ts_col).cast("long").alias("ts_sec"),
+    )
+    return projected.groupBy("dedup_key").transformWithStateInPandas(
+        statefulProcessor=_KeepFirstProcessor(ttl_ms),
+        outputStructType=DEDUP_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime",
     )

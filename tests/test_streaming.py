@@ -390,3 +390,81 @@ def test_influx_point_shaping_and_line_protocol(spark):
 def test_influx_line_escapes_specials():
     line = influx_line("m x", {"t a": "v,1"}, {"f": 2}, 1)
     assert line == r"m\ x,t\ a=v\,1 f=2 1"
+
+
+def test_transform_with_state_dedup_keep_first(spark):
+    """State-API-v2 keep-first dedup: one output row per key across
+    micro-batches; within-batch dup count reported; second sighting of a
+    key in a later batch emits nothing."""
+    # transformWithState's Python runner speaks protobuf to the JVM; the
+    # package isn't installed in this container (and installs are
+    # disallowed), so this path can only run where protobuf exists
+    pytest.importorskip("google.protobuf")
+    from flink_streaming_twitter_spark.streaming.stateful import (
+        streaming_dedup_keep_first,
+    )
+
+    d = tempfile.mkdtemp(prefix="twsdedup_")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        f1 = [(BASE + dt.timedelta(seconds=s), k) for s, k in [(1, "a"), (0, "a"), (5, "b")]]
+        f2 = [(BASE + dt.timedelta(seconds=s), k) for s, k in [(100, "a"), (7, "c")]]
+        spark.createDataFrame(f1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(d)
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        q = start_query(
+            streaming_dedup_keep_first(stream, "k", "ts"),
+            name="tws_dedup",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        got = {
+            (r.dedup_key, r.first_ts - base_epoch, r.batch_dups)
+            for r in spark.sql("SELECT * FROM tws_dedup").collect()
+        }
+        # exactly one row per distinct key == the batch-distinct answer
+        assert got == {("a", 0, 1), ("b", 5, 0), ("c", 7, 0)}
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transform_with_state_dedup_plan_builds(spark):
+    """Plan construction and output schema don't need the protobuf
+    runtime — they must work everywhere the package imports."""
+    from flink_streaming_twitter_spark.streaming.stateful import (
+        DEDUP_OUT_SCHEMA,
+        streaming_dedup_keep_first,
+    )
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+    d = tempfile.mkdtemp(prefix="twsplan_")
+    try:
+        spark.createDataFrame(
+            [(BASE, "a")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = streaming_dedup_keep_first(stream, "k", "ts", ttl_ms=3_600_000)
+        assert out.isStreaming
+        assert out.schema == DEDUP_OUT_SCHEMA
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
