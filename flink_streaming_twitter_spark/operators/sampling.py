@@ -1,0 +1,114 @@
+"""Deterministic sampling / splitting / quota ops for training-data
+pipelines.
+
+The reference has no sampling surface (its four pipelines consume the
+full stream — SURVEY.md §2.7 records the absence); these are north-star
+extensions a 100 TB corpus pipeline needs: carve reproducible samples,
+assign stable train/val/test splits, and cap any one domain's share of
+the corpus.
+
+Why md5 and not ``F.hash``/``rand``: the bucket must be (a) deterministic
+across runs and engines — the DuckDB oracle computes the *same* bucket
+from the same key, and a re-run of the pipeline on new hardware keeps
+every document in the same split (the property that makes train/test
+contamination auditable) — and (b) independent of partitioning.
+``rand()`` fails (a) and (b); ``F.hash`` (Murmur3) is Spark-specific so
+the oracle can't reproduce it. md5's first 8 hex digits give 32 uniform
+bits, plenty for bucket assignment, and both engines expose md5 as a
+lowercase-hex string. Cost: one cryptographic hash per row, JVM-side
+(still whole-stage-codegen'd, no Python boundary).
+
+Scale notes (100 TB): all three ops are embarrassingly parallel
+narrow transforms except ``cap_per_key``, which shuffles once on the
+partition key — same profile as any per-key top-k. A skewed domain
+(one source = 30% of the corpus) makes one reducer hot; the
+``row_number`` window only needs the top-k though, so for pathological
+skew compose with ``operators/skew.py``'s salted two-phase top-k: keep
+k per (key, salt) first, then k of the k·n_salt survivors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 10_000) -> Column:
+    """Engine-portable uniform bucket in ``[0, n_buckets)``: the first 8
+    hex digits of ``md5(cast(key as string))`` read as an integer, mod
+    ``n_buckets``. DuckDB twin:
+    ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT % n``.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, n_buckets: int = 10_000
+) -> DataFrame:
+    """Keep rows whose bucket falls below ``fraction`` of the bucket
+    space — a reproducible Bernoulli-style sample keyed on ``key``
+    (same key ⇒ same in/out decision everywhere, forever)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_bucket(key, n_buckets) < int(round(fraction * n_buckets)))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: Sequence[tuple[str, float]],
+    n_buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a stable split label (e.g. train/val/test) from
+    cumulative bucket ranges. ``splits`` is an ordered list of
+    ``(label, weight)`` with weights summing to 1.0; the bucket space is
+    carved into contiguous ranges in that order, so a given key's label
+    never changes when *other* splits are re-weighted upstream of it.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    if len({label for label, _ in splits}) != len(splits):
+        raise ValueError("duplicate split labels")
+    bucket = hash_bucket(key, n_buckets)
+    expr: Column | None = None
+    cum = 0.0
+    for label, weight in splits:
+        cum += weight
+        hi = int(round(cum * n_buckets))
+        branch = bucket < F.lit(hi)
+        expr = F.when(branch, label) if expr is None else expr.when(branch, label)
+    # float rounding can leave bucket == n_buckets-1 unassigned; the last
+    # label absorbs the remainder so the split is total
+    assert expr is not None
+    return df.withColumn(split_col, expr.otherwise(splits[-1][0]))
+
+
+def cap_per_key(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per partition key, by rank under
+    ``order_cols`` — the domain-quota op (no single source may
+    contribute more than k documents). ``order_cols`` must be a total
+    order (include a unique id as the final tiebreak) or the survivor
+    set is nondeterministic. One shuffle on ``partition_cols``; for a
+    pathologically hot key see the salted two-phase variant note in the
+    module docstring."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -16,6 +16,7 @@ def extension_queries() -> dict[str, QueryFn]:
     from .analytics import ANALYTICS_QUERIES
     from .dedup import DEDUP_QUERIES
     from .misc import MISC_QUERIES
+    from .pipeline import PIPELINE_QUERIES
     from .relational import RELATIONAL_QUERIES
     from .similarity import SIMILARITY_QUERIES
     from .textops import TEXTOPS_QUERIES
@@ -28,6 +29,7 @@ def extension_queries() -> dict[str, QueryFn]:
     q.update(SIMILARITY_QUERIES)
     q.update(TEXTOPS_QUERIES)
     q.update(MISC_QUERIES)
+    q.update(PIPELINE_QUERIES)
     q.update(RELATIONAL_QUERIES)
     return q
 
@@ -36,6 +38,7 @@ def extension_oracles() -> dict[str, str]:
     from .analytics import ANALYTICS_ORACLES
     from .dedup import dedup_oracles
     from .misc import misc_oracles
+    from .pipeline import pipeline_oracles
     from .similarity import similarity_oracles
     from .textops import textops_oracles
 
@@ -49,5 +52,6 @@ def extension_oracles() -> dict[str, str]:
     o.update(similarity_oracles())
     o.update(textops_oracles())
     o.update(misc_oracles())
+    o.update(pipeline_oracles())
     o.update(RELATIONAL_ORACLES)
     return o

@@ -1,0 +1,82 @@
+"""Deterministic sampling / split / quota operators
+(operators/sampling.py): golden-value portability of the md5 bucket,
+split totality+stability, cap determinism under ties."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_twitter_spark.operators.sampling import (
+    cap_per_key,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+
+
+def _py_bucket(key: str, n: int = 10_000) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+
+def test_hash_bucket_matches_python_golden(spark):
+    """The engine-portability contract: Spark's bucket equals the
+    reference computation (same values DuckDB produces — the oracle
+    SQL in plans/pipeline.py uses the identical expression)."""
+    keys = ["1", "42", "9999", "hello", ""]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r.k: r.b for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+    assert got == {k: _py_bucket(k) for k in keys}
+
+
+def test_hash_split_total_disjoint_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = hash_split(df, "id", splits).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    # total: every row got exactly one label
+    assert sum(counts.values()) == 500
+    # roughly proportional (md5 is uniform; 500 rows → loose bounds)
+    assert counts["train"] > 350 and counts["val"] > 10 and counts["test"] > 10
+    # stability: the label of a given key is a pure function of the key
+    one = hash_split(df.filter(F.col("id") == 7), "id", splits).collect()[0].split
+    again = hash_split(df, "id", splits).filter(F.col("id") == 7).collect()[0].split
+    assert one in counts and one == again
+
+
+def test_hash_sample_is_subset_and_fraction(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    s10 = hash_sample(df, "id", 0.10)
+    s50 = hash_sample(df, "id", 0.50)
+    n10, n50 = s10.count(), s50.count()
+    assert 50 < n10 < 200 and 400 < n50 < 600
+    # nesting: a smaller fraction is a strict subset of a larger one
+    # (bucket < t1 implies bucket < t2 for t1 < t2)
+    assert s10.exceptAll(s50).count() == 0
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        hash_split(df, "id", [("a", 0.5), ("b", 0.2)])
+    with pytest.raises(ValueError):
+        hash_split(df, "id", [("a", 0.5), ("a", 0.5)])
+
+
+def test_cap_per_key_deterministic_under_ties(spark):
+    rows = [("s1", i, 100) for i in range(10)] + [("s2", 50, 7)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    out = cap_per_key(
+        df, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 3
+    )
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    # all n_chars tie in s1 → doc_id ascending decides, deterministically
+    assert got == [("s1", 0), ("s1", 1), ("s1", 2), ("s2", 50)]
