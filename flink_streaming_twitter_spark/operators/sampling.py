@@ -91,6 +91,35 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(splits[-1][0]))
 
 
+def weighted_mix(
+    df: DataFrame,
+    domain_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Domain-weighted corpus mixing: keep a per-domain fraction of rows
+    (e.g. 100% of curated sources, 20% of web crawl), decided by the
+    same deterministic md5 bucket as :func:`hash_sample` so the mix is
+    reproducible row-for-row. Thresholds are precomputed integers —
+    no float arithmetic crosses the engine boundary. A narrow
+    filter (no shuffle); at 100 TB this is the scan-time admission
+    gate in front of every downstream op."""
+    for dom, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {dom!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    thresh: Column = F.lit(int(round(default_fraction * n_buckets)))
+    for dom, frac in fractions.items():
+        thresh = (
+            F.when(F.col(domain_col) == dom, int(round(frac * n_buckets)))
+            .otherwise(thresh)
+        )
+    return df.filter(hash_bucket(key, n_buckets) < thresh)
+
+
 def cap_per_key(
     df: DataFrame,
     partition_cols: Sequence[str],

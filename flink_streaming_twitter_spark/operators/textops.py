@@ -140,3 +140,40 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         .groupBy(id_col)
         .agg((F.sum("term") % F.lit(MERSENNE_31)).alias("fingerprint"))
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text cleanup pass — the transform every corpus runs
+    before dedup/tokenization so that cosmetic variants (case, runs of
+    whitespace, stray control bytes) hash identically downstream:
+
+    1. lowercase,
+    2. collapse any whitespace run (spaces, tabs, newlines) to one space,
+    3. strip remaining C0/DEL control characters,
+    4. trim.
+
+    Whitespace collapses *before* the control strip so ``a\\nb``
+    becomes ``a b``, not ``ab``.
+
+    Emits the normalized text plus audit columns (``changed``,
+    ``chars_removed``) so a pipeline can report how much cleanup the
+    corpus needed. Pure per-row Column expressions — codegen-fused into
+    the scan, shuffle-free, trivially 100 TB-parallel. (Unicode NFC
+    normalization is deliberately out: Spark has no built-in and a
+    Python UDF would put a per-row interpreter hop in the hottest path;
+    documented gap, do it at ingest.)"""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "),
+            "[\\x00-\\x1f\\x7f]",
+            "",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("norm_text"),
+        (cleaned != F.col(text_col)).alias("changed"),
+        (F.length(text_col) - F.length(cleaned)).alias("chars_removed"),
+    )

@@ -12,12 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import cap_per_key, hash_split
+from ..operators.sampling import cap_per_key, hash_split, weighted_mix
+from ..operators.textops import normalize_text
 from ..sources.files import load_table
 
 SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 N_BUCKETS = 10_000
 CAP_K = 10
+# curated sources kept whole, mid-tier halved, everything else at 20%
+MIX_FRACTIONS = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
+MIX_DEFAULT = 0.2
 
 
 def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,9 +55,30 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted admission: per-source keep-fractions via the
+    deterministic bucket, profiled per source. Shuffle-free until the
+    final small aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_mix(docs, "source", "doc_id", MIX_FRACTIONS, MIX_DEFAULT, N_BUCKETS)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cleanup pass (operators/textops.py::normalize_text):
+    lowercase, whitespace collapse, control strip, trim — with audit
+    columns. Pure per-row expressions fused into the scan."""
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
 PIPELINE_QUERIES = {
     "q_hash_split_counts": q_hash_split_counts,
     "q_cap_per_source": q_cap_per_source,
+    "q_mix_weighted": q_mix_weighted,
+    "q_text_normalize": q_text_normalize,
 }
 
 _BUCKET = f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})"
@@ -84,8 +109,41 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= {CAP_K}
 """
 
 
+_MIX_CASE = " ".join(
+    f"WHEN source = '{dom}' THEN {int(round(frac * N_BUCKETS))}"
+    for dom, frac in MIX_FRACTIONS.items()
+)
+
+MIX_WEIGHTED_SQL = f"""
+WITH admitted AS (
+  SELECT source, n_chars
+  FROM documents
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})
+        < CASE {_MIX_CASE} ELSE {int(round(MIX_DEFAULT * N_BUCKETS))} END
+)
+SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+FROM admitted GROUP BY source
+"""
+
+TEXT_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '\s+', ' ', 'g'),
+              '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       norm_text != text AS changed,
+       length(text) - length(norm_text) AS chars_removed
+FROM n
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "q_hash_split_counts": HASH_SPLIT_SQL,
         "q_cap_per_source": CAP_PER_SOURCE_SQL,
+        "q_mix_weighted": MIX_WEIGHTED_SQL,
+        "q_text_normalize": TEXT_NORMALIZE_SQL,
     }

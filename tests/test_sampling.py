@@ -14,6 +14,7 @@ from flink_streaming_twitter_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     hash_split,
+    weighted_mix,
 )
 
 
@@ -80,3 +81,30 @@ def test_cap_per_key_deterministic_under_ties(spark):
     got = sorted((r.source, r.doc_id) for r in out.collect())
     # all n_chars tie in s1 → doc_id ascending decides, deterministically
     assert got == [("s1", 0), ("s1", 1), ("s1", 2), ("s2", 50)]
+
+
+def test_weighted_mix_respects_domain_fractions(spark):
+    rows = [(f"d{i}", "keep" if i % 2 else "drop") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    out = weighted_mix(df, "dom", "id", {"keep": 1.0, "drop": 0.0})
+    got = {r.dom for r in out.select("dom").distinct().collect()}
+    assert got == {"keep"}
+    assert out.count() == 200
+    # default fraction applies to unlisted domains
+    half = weighted_mix(df, "dom", "id", {}, default_fraction=0.5).count()
+    assert 120 < half < 280
+
+
+def test_weighted_mix_is_subset_of_hash_sample(spark):
+    """The mix admits exactly the rows hash_sample admits at that
+    domain's fraction — one shared bucket function, no second hash."""
+    df = spark.createDataFrame([(f"k{i}", "a") for i in range(300)], ["id", "dom"])
+    mix = weighted_mix(df, "dom", "id", {"a": 0.3})
+    samp = hash_sample(df, "id", 0.3)
+    assert mix.exceptAll(samp).count() == 0 and samp.exceptAll(mix).count() == 0
+
+
+def test_weighted_mix_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "dom"])
+    with pytest.raises(ValueError):
+        weighted_mix(df, "dom", "id", {"a": 2.0})

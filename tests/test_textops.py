@@ -50,3 +50,20 @@ def test_quality_metrics_shapes_and_ranges(spark):
     assert en.n_tokens == 9 and en.n_uniq_tokens == 8  # 'the' twice
     assert 0.0 <= en.stopword_ratio <= 1.0
     assert 0.0 < en.quality_score <= 1.0
+
+
+def test_normalize_text_semantics(spark):
+    from flink_streaming_twitter_spark.operators.textops import normalize_text
+
+    rows = [
+        (1, "  Hello\t\nWorld  "),        # case, tabs/newlines, padding
+        (2, "already clean"),
+        (3, "ctrl\x01char\x7fhere"),       # bare control bytes removed
+        (4, "A\nB"),                       # newline collapses to a SPACE
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.norm_text, r.changed, r.chars_removed) for r in normalize_text(df).collect()}
+    assert got[1] == ("hello world", True, 5)
+    assert got[2] == ("already clean", False, 0)
+    assert got[3] == ("ctrlcharhere", True, 2)
+    assert got[4] == ("a b", True, 0)
