@@ -435,7 +435,49 @@ def q_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup specialize:
+    hand-picked aggregation levels ((priority,status), (status), ())
+    computed in ONE pass over orders with a single shuffle (Catalyst
+    Expand + hash agg), vs three scans + a union by hand. gid
+    disambiguates levels where a grouping column is NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def q_order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows (ntile / percent_rank / cume_dist)
+    per priority class over order value, orderkey as the total-order
+    tiebreak so every engine ranks identically. One shuffle on the
+    partition key serves all three functions (same window frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice"),
+        F.ntile(4).over(w).alias("value_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 ANALYTICS_QUERIES = {
+    "q_grouping_sets_sales": q_grouping_sets_sales,
+    "q_order_rank_distribution": q_order_rank_distribution,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "q_price_percentiles": q_price_percentiles,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -456,6 +498,22 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "q_grouping_sets_sales": """
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+""",
+    "q_order_rank_distribution": """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER w AS value_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
     "tpch_q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
