@@ -143,7 +143,10 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def normalize_text(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Canonical text cleanup pass — the transform every corpus runs
     before dedup/tokenization so that cosmetic variants (case, runs of
@@ -176,4 +179,5 @@ def normalize_text(
         cleaned.alias("norm_text"),
         (cleaned != F.col(text_col)).alias("changed"),
         (F.length(text_col) - F.length(cleaned)).alias("chars_removed"),
+        *[F.col(c) for c in extra_cols],
     )

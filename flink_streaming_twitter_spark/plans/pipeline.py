@@ -74,7 +74,54 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-preparation pipeline as ONE composed plan —
+    normalize → exact-dedup on normalized text → weighted domain
+    admission → train/val/test split → per-(split, source) profile:
+
+    1. ``normalize_text`` (narrow, fused into the scan),
+    2. per-row featurization — md5 digest, token count, char count —
+       *before* any shuffle, then the document text is DROPPED: the
+       only wide stage keys on the 32-hex digest, so a shuffled row is
+       a few dozen bytes regardless of document size (shuffling
+       normalized bodies would move the whole corpus),
+    3. keep-one-per-digest via ``cap_per_key`` with k=1 — quota
+       capping IS exact dedup at k=1 (min doc_id survives;
+       WindowGroupLimit forwards one row per digest per map task),
+    4. ``weighted_mix`` admission + ``hash_split`` assignment (both
+       narrow md5-bucket filters), then one final aggregate.
+
+    Total cost at any corpus size: one digest-keyed exchange of thin
+    rows plus the 3×20-group aggregate. The token count uses the same
+    ``\\w+`` tokenizer as the text-analysis family."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs, extra_cols=("source",))
+    featurized = norm.select(
+        "doc_id",
+        "source",
+        F.md5("norm_text").alias("text_digest"),
+        F.size(F.regexp_extract_all(F.col("norm_text"), F.lit(r"\w+"), 0)).alias(
+            "n_tokens"
+        ),
+        F.length("norm_text").alias("n_chars_norm"),
+    )
+    deduped = cap_per_key(featurized, ["text_digest"], [F.col("doc_id").asc()], 1)
+    admitted = weighted_mix(
+        deduped, "source", "doc_id", MIX_FRACTIONS, MIX_DEFAULT, N_BUCKETS
+    )
+    return (
+        hash_split(admitted, "doc_id", SPLITS, N_BUCKETS)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_norm").alias("total_chars"),
+        )
+    )
+
+
 PIPELINE_QUERIES = {
+    "q_corpus_pipeline": q_corpus_pipeline,
     "q_hash_split_counts": q_hash_split_counts,
     "q_cap_per_source": q_cap_per_source,
     "q_mix_weighted": q_mix_weighted,
@@ -140,8 +187,44 @@ FROM n
 """
 
 
+_SPLIT_CASE = (
+    f"CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})"
+    f" < {_TRAIN_HI} THEN 'train'"
+    f" WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})"
+    f" < {_VAL_HI} THEN 'val' ELSE 'test' END"
+)
+
+CORPUS_PIPELINE_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '\s+', ' ', 'g'),
+              '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
+  FROM documents
+),
+deduped AS (
+  SELECT doc_id, source, norm_text,
+         row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id ASC) AS rn
+  FROM norm
+),
+admitted AS (
+  SELECT doc_id, source, norm_text FROM deduped
+  WHERE rn = 1
+    AND (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})
+        < CASE {_MIX_CASE} ELSE {int(round(MIX_DEFAULT * N_BUCKETS))} END
+)
+SELECT {_SPLIT_CASE} AS split, source,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(norm_text, '\w+'))) AS total_tokens,
+       sum(length(norm_text)) AS total_chars
+FROM admitted
+GROUP BY 1, 2
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
+        "q_corpus_pipeline": CORPUS_PIPELINE_SQL,
         "q_hash_split_counts": HASH_SPLIT_SQL,
         "q_cap_per_source": CAP_PER_SOURCE_SQL,
         "q_mix_weighted": MIX_WEIGHTED_SQL,
