@@ -120,8 +120,31 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the steady-state form of exact dedup
+    once a corpus exists: an incoming batch keeps only documents whose
+    normalized-text digest (a) is absent from the archive (left ANTI
+    join on digest) and (b) is unique within the batch (cap_per_key
+    k=1). Here archive/incoming are carved from `documents` by
+    ``doc_id % 10`` (80/20); in production the archive is a stored
+    digest table. Both join sides are thin digest rows — the anti join
+    shuffles 32-hex keys, never text — and at 100 TB the archive side
+    is exactly the "seen-digests" table you'd bucket by digest so
+    nightly ingests co-locate without re-shuffling the archive."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(docs, extra_cols=("source",))
+    dig = norm.select("doc_id", "source", F.md5("norm_text").alias("digest"))
+    archive = dig.filter(F.col("doc_id") % 10 < 8).select("digest")
+    incoming = dig.filter(F.col("doc_id") % 10 >= 8)
+    fresh = incoming.join(archive, "digest", "left_anti")
+    return cap_per_key(fresh, ["digest"], [F.col("doc_id").asc()], 1).select(
+        "doc_id", "source"
+    )
+
+
 PIPELINE_QUERIES = {
     "q_corpus_pipeline": q_corpus_pipeline,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_hash_split_counts": q_hash_split_counts,
     "q_cap_per_source": q_cap_per_source,
     "q_mix_weighted": q_mix_weighted,
@@ -222,9 +245,34 @@ GROUP BY 1, 2
 """
 
 
+INCREMENTAL_DEDUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '\s+', ' ', 'g'),
+              '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
+  FROM documents
+),
+dig AS (SELECT doc_id, source, md5(norm_text) AS digest FROM norm),
+archive AS (SELECT DISTINCT digest FROM dig WHERE doc_id % 10 < 8),
+incoming AS (SELECT * FROM dig WHERE doc_id % 10 >= 8),
+fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM archive a WHERE a.digest = i.digest)
+),
+kept AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id ASC) AS rn
+  FROM fresh
+)
+SELECT doc_id, source FROM kept WHERE rn = 1
+"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     return {
         "q_corpus_pipeline": CORPUS_PIPELINE_SQL,
+        "q_incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "q_hash_split_counts": HASH_SPLIT_SQL,
         "q_cap_per_source": CAP_PER_SOURCE_SQL,
         "q_mix_weighted": MIX_WEIGHTED_SQL,

@@ -59,3 +59,24 @@ def test_semi_and_anti_joins_planned_as_such(plans):
 def test_topk_uses_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["tpch_q3_shipping_priority"]
     assert "TakeOrderedAndProject" in plans["top_customers"]
+
+
+def test_corpus_pipeline_shuffles_digests_not_text(plans):
+    """q_corpus_pipeline's scale contract: exactly two exchanges (dedup
+    + final agg), and no document-text column in any exchange's input —
+    the dedup shuffle must carry the 32-hex digest, never the body."""
+    import re
+
+    p = plans["q_corpus_pipeline"]
+    blocks = re.findall(r"\(\d+\) Exchange\n(Input[^\n]*)", p)
+    assert len(blocks) == 2, p
+    for inputs in blocks:
+        assert "norm_text" not in inputs, inputs
+
+
+def test_quota_cap_limits_before_exchange(plans):
+    """cap_per_key must plan a partial WindowGroupLimit upstream of the
+    exchange — the property that bounds shuffle volume under domain
+    skew (SCALE.md corpus-management section)."""
+    p = plans["q_cap_per_source"]
+    assert "WindowGroupLimit" in p and "Partial" in p, p

@@ -468,3 +468,42 @@ def test_transform_with_state_dedup_plan_builds(spark):
         assert out.schema == DEDUP_OUT_SCHEMA
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sampling_admission_stream_equals_batch(spark):
+    """The md5-bucket admission filters (weighted_mix + hash_split) are
+    stateless narrow expressions, so they apply to a stream unchanged —
+    draining the stream must admit exactly the rows the batch run
+    admits, with identical split labels."""
+    from flink_streaming_twitter_spark.operators.sampling import (
+        hash_split,
+        weighted_mix,
+    )
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("dom", T.StringType())]
+    )
+    rows = [(i, "curated" if i % 3 == 0 else "crawl") for i in range(300)]
+    d = tempfile.mkdtemp(prefix="admit_")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode("overwrite").parquet(d)
+
+        def admit(df):
+            mixed = weighted_mix(df, "dom", "id", {"curated": 1.0, "crawl": 0.4})
+            return hash_split(mixed, "id", [("train", 0.9), ("test", 0.1)])
+
+        batch = {
+            (r.id, r.dom, r.split) for r in admit(spark.read.parquet(d)).collect()
+        }
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        q = start_query(
+            admit(stream), name="admit_stream", output_mode="append", available_now=True
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r.id, r.dom, r.split)
+            for r in spark.sql("SELECT * FROM admit_stream").collect()
+        }
+        assert streamed == batch and len(batch) > 50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
