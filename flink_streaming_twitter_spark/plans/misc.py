@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import payload_metadata
+from ..operators.multimodal import decode_media, frame_sample, payload_metadata
 from ..operators.rangejoin import range_join
 from ..operators.sessions import sessionize
 from ..sources.files import load_table
@@ -38,6 +38,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "byte_len", F.col("sha256"), bucket.alias("size_bucket"))
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full media pipeline through the Arrow-batched mapInPandas
+    decode kernel (operators/multimodal.py::decode_media — stub decoder,
+    real plumbing) plus frame sampling: per mime class, media count,
+    mean decoded dimensions, and frames kept at every_n=4. No SQL oracle
+    — the decode kernel is Python, so the driver records the rows-only
+    check (the deterministic-fake semantics are pinned by unit tests in
+    tests/test_similarity_and_multimodal.py instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/jpeg")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+    decoded = decode_media(media)
+    frames = (
+        frame_sample(decoded, every_n=4)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        decoded.join(frames, "media_id", "left")
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.sum(F.coalesce(F.col("n_kept"), F.lit(0))).alias("frames_kept"),
+        )
+    )
+
+
 def q_range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless point-in-interval join (operators/rangejoin.py): each
     error event opens a 10-minute window; count/sum the purchases whose
@@ -67,6 +102,7 @@ def q_range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 MISC_QUERIES = {
     "events_sessionize": events_sessionize,
     "multimodal_meta": multimodal_meta,
+    "multimodal_decode_stats": multimodal_decode_stats,
     "q_range_join_error_impact": q_range_join_error_impact,
 }
 

@@ -507,3 +507,59 @@ def test_sampling_admission_stream_equals_batch(spark):
         assert streamed == batch and len(batch) > 50
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_corpus_prep_composition(spark):
+    """Streaming corpus prep end-to-end: normalize → digest → weighted
+    admission → dropDuplicatesWithinWatermark on the digest. Replaying
+    duplicate texts across micro-batches must admit each distinct
+    normalized text at most once, and only for admitted domains — the
+    streaming twin of the batch q_corpus_pipeline dedup+admission
+    stages."""
+    from flink_streaming_twitter_spark.operators.sampling import weighted_mix
+    from flink_streaming_twitter_spark.operators.textops import normalize_text
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dom", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="scorpus_")
+    try:
+        # batch 2 repeats batch 1's texts (case/whitespace variants)
+        f1 = [
+            (BASE, 1, "keep", "Hello  World"),
+            (BASE, 2, "keep", "unique one"),
+            (BASE, 3, "drop", "drop me"),
+        ]
+        f2 = [
+            (BASE + dt.timedelta(seconds=30), 4, "keep", "hello world"),
+            (BASE + dt.timedelta(seconds=30), 5, "keep", "Unique\tONE"),
+            (BASE + dt.timedelta(seconds=30), 6, "keep", "fresh text"),
+        ]
+        spark.createDataFrame(f1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        norm = normalize_text(
+            stream.withWatermark("ts", "300 seconds"),
+            extra_cols=("dom", "ts"),
+        )
+        admitted = weighted_mix(norm, "dom", "doc_id", {"keep": 1.0, "drop": 0.0})
+        deduped = admitted.select(
+            "ts", "dom", F.md5("norm_text").alias("digest"), "norm_text"
+        ).dropDuplicatesWithinWatermark(["digest"])
+        q = start_query(
+            deduped, name="scorpus", output_mode="append", available_now=True
+        )
+        q.awaitTermination(120)
+        got = {r.norm_text for r in spark.sql("SELECT * FROM scorpus").collect()}
+        # one admission per distinct normalized text; 'drop me' never admitted
+        assert got == {"hello world", "unique one", "fresh text"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
