@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": reference_queries.q_json_extract,
         "q_value_by_window": reference_queries.q_value_by_window,
         "q_tokenize_topk": reference_queries.q_tokenize_topk,
+        "stream_qb_counts": reference_queries.stream_qb_counts,
     }
     q.update(extensions.extension_queries())
     return q

@@ -125,6 +125,19 @@ LIMIT {P.TOKEN_TOP_K}
 """
 
 
+STREAM_QB_COUNTS = f"""
+WITH slid AS (
+  SELECT
+    CAST(floor(epoch(ts)/{P.TREND_SLIDE_S}) AS BIGINT)*{P.TREND_SLIDE_S} - k.k*{P.TREND_SLIDE_S} AS w_start,
+    event_type
+  FROM events
+  CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+)
+SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
+FROM slid GROUP BY 1, 2, 3
+"""
+
+
 def reference_oracles() -> dict[str, str]:
     return {
         "qa_trending_two_stage": QA_TRENDING_TWO_STAGE,
@@ -134,4 +147,5 @@ def reference_oracles() -> dict[str, str]:
         "q_json_extract": Q_JSON_EXTRACT,
         "q_value_by_window": Q_VALUE_BY_WINDOW,
         "q_tokenize_topk": Q_TOKENIZE_TOPK,
+        "stream_qb_counts": STREAM_QB_COUNTS,
     }

@@ -133,3 +133,57 @@ def q_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return top_k(counts, "cnt", P.TOKEN_TOP_K, "token").select("token", "cnt")
+
+
+def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-B stage 1 executed by the ACTUAL Structured Streaming engine —
+    not a batch twin: the events table is replayed through readStream →
+    windowed update-mode aggregation (streaming/runner.py) → memory
+    sink, drained with availableNow, and the sink's final state is
+    returned as a batch DataFrame. The paired oracle is the same
+    sliding-window SQL the batch form uses, so the driver's hash compare
+    certifies stream==batch convergence (the Structured Streaming
+    correctness property, PAPERS.md SIGMOD 2018) — not just our pytest
+    suite's word for it.
+
+    max(cnt) per key collapses multi-batch update-mode re-emissions
+    (counts are monotone per key); with the single-file test tables one
+    micro-batch emits exactly the final counts and the max is a no-op.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.runner import StreamingPipelines, start_query
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong/UTC session confs
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_qb_counts_")
+    view = "stream_qb_counts_sink"
+    try:
+        spark.catalog.dropTempView(view)  # idempotent re-runs
+    except Exception:
+        pass
+    try:
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        counts = pipe.windowed_counts(
+            f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+        )
+        q = start_query(counts, name=view, output_mode="update", available_now=True)
+        q.awaitTermination(600)
+        # the memory-sink view stays registered so the caller can
+        # evaluate lazily; dropped on the next invocation
+        return (
+            spark.table(view)
+            .groupBy("w_start", "w_end", "event_type")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
