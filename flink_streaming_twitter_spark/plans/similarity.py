@@ -84,7 +84,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile via array higher-order functions
+    (functions/vectors.py::l2_norm — F.aggregate over the array, JVM-side,
+    no Python). Per-row norms are rounded to 6dp and summed in DECIMAL so
+    the cross-row average is order-independent and engine-exact; min/max
+    need no such care (no summation)."""
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(l2_norm(F.col("embedding")), 6).cast("decimal(28,6)")
+    return (
+        emb.select("label", norm6.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("norm").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_norm"
+            ),
+            F.min("norm").cast("double").alias("min_norm"),
+            F.max("norm").cast("double").alias("max_norm"),
+        )
+    )
+
+
 SIMILARITY_QUERIES = {
+    "q_embedding_norms": q_embedding_norms,
     "similarity_brute_topk": similarity_brute_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
@@ -216,8 +241,25 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {EMB_NEAR_THRESHOLD}
 """
 
 
+EMBEDDING_NORMS_SQL = """
+WITH norms AS (
+  SELECT label,
+         CAST(round(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS DECIMAL(28,6)) AS norm
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(CAST(sum(norm) AS DOUBLE) / count(*), 6) AS avg_norm,
+       CAST(min(norm) AS DOUBLE) AS min_norm,
+       CAST(max(norm) AS DOUBLE) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
 def similarity_oracles() -> dict[str, str]:
     return {
+        "q_embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_brute_topk": BRUTE_SQL,
         "similarity_lsh_topk": _lsh_sql(),
         "similarity_ivf_topk": _ivf_sql(),
