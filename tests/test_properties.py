@@ -211,3 +211,70 @@ def test_minhash_matches_python_model(spark, texts):
         }
         expected[i] = [min((a * x + b) % MERSENNE_31 for x in hashes) for a, b in params]
     assert got == expected
+
+
+split_weights_strategy = st.lists(
+    st.floats(min_value=0.05, max_value=1.0, allow_nan=False), min_size=2, max_size=5
+)
+
+
+@given(raw=split_weights_strategy, keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_hash_split_matches_python_model(spark, raw, keys):
+    """hash_split's label for every key equals an independent Python
+    recomputation of the cumulative md5-bucket thresholds — totality,
+    determinism, and threshold arithmetic all at once."""
+    import hashlib
+
+    from flink_streaming_twitter_spark.operators.sampling import hash_split
+
+    total = sum(raw)
+    weights = [w / total for w in raw]
+    # absorb float residue into the last weight exactly as callers would
+    weights[-1] = 1.0 - sum(weights[:-1])
+    splits = [(f"s{i}", w) for i, w in enumerate(weights)]
+    n_buckets = 10_000
+
+    def model(k: int) -> str:
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % n_buckets
+        cum = 0.0
+        for label, w in splits:
+            cum += w
+            if b < int(round(cum * n_buckets)):
+                return label
+        return splits[-1][0]
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], ["id"])
+    got = {r.id: r.split for r in hash_split(df, "id", splits, n_buckets).collect()}
+    assert got == {k: model(k) for k in set(keys)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_cap_per_key_matches_python_model(spark, rows, k):
+    """cap_per_key survivors equal an independent sort-and-slice model
+    (duplicate (domain, order) ties resolved by the id tiebreak)."""
+    from flink_streaming_twitter_spark.operators.sampling import cap_per_key
+
+    uniq = [(dom, i, val) for i, (dom, _, val) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, ["dom", "id", "val"])
+    got = sorted(
+        (r.dom, r.id)
+        for r in cap_per_key(
+            df, ["dom"], [F.col("val").desc(), F.col("id").asc()], k
+        ).collect()
+    )
+    expect = []
+    for dom in {d for d, _, _ in uniq}:
+        members = sorted(
+            ((v, i) for d, i, v in uniq if d == dom), key=lambda t: (-t[0], t[1])
+        )
+        expect.extend((dom, i) for _, i in members[:k])
+    assert got == sorted(expect)
