@@ -67,23 +67,23 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # the improvement flag rides along in the propagation select, so
+        # convergence is a filter-count over the checkpointed rows — no
+        # extra new-vs-old join per round
+        stepped = (
             labels.join(nbr_min, labels.id == nbr_min.s, "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
+                    "new_comp"
+                ),
+                (F.coalesce(F.col("nbr_comp") < F.col("comp"), F.lit(False))).alias(
+                    "improved"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", F.col("new_comp").alias("comp"))
+        if stepped.filter("improved").count() == 0:
             return with_singletons(labels)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
