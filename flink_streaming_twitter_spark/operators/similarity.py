@@ -28,7 +28,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim, dot_product
+from ..functions.vectors import cosine_sim, dot_product, l2_norm
 
 ROUND_DECIMALS = 6
 
@@ -63,15 +63,24 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    # norms once per row (not per pair) — identical doubles to cosine_sim
+    c = corpus.select(id_col, vec_col).withColumn("v_norm", l2_norm(F.col(vec_col)))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             id_col,
-            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+            F.round(
+                dot_product(F.col("q_vec"), F.col(vec_col))
+                / (F.col("q_norm") * F.col("v_norm")),
+                ROUND_DECIMALS,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -102,21 +111,55 @@ def ivf_assign(
     cent_id ASC): (vec_id, embedding, cent_id). Broadcast cross join —
     n×ncells distance evaluations with ZERO shuffle of the corpus, which
     is the canonical IVF build cost and is embarrassingly parallel at
-    100 TB (centroids are ~sqrt(n) rows ⇒ comfortably broadcastable)."""
+    100 TB (centroids are ~sqrt(n) rows ⇒ comfortably broadcastable).
+
+    Two assignment-cost disciplines:
+    - each side's L2 norm is computed once per ROW, not once per pair —
+      the pair loop evaluates only the dot product (same doubles, same
+      division as ``cosine_sim``, so results are bit-identical);
+    - the n_nearest=1 case (the whole corpus) is a map-side ``max_by``
+      argmax — one combined row per vector crosses the shuffle, instead
+      of sorting all n×ncells pair rows through a ranking window. The
+      window path remains for n_nearest>1 (query probing, a tiny side).
+    """
     from pyspark.sql import Window
 
-    cents = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec"))
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cent_id").asc())
-    return (
+    cents = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    paired = (
         vectors.select(id_col, vec_col)
+        .withColumn("v_norm", l2_norm(F.col(vec_col)))
         .crossJoin(F.broadcast(cents))
         .select(
             id_col,
             vec_col,
             "cent_id",
-            F.round(cosine_sim(F.col("c_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("c_sim"),
+            F.round(
+                dot_product(F.col("c_vec"), F.col(vec_col))
+                / (F.col("v_norm") * F.col("c_norm")),
+                ROUND_DECIMALS,
+            ).alias("c_sim"),
         )
-        .withColumn("crank", F.row_number().over(w))
+    )
+    if n_nearest == 1:
+        # lexicographic struct max: highest c_sim, then lowest cent_id —
+        # the same total order the window path uses
+        return (
+            paired.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cent_id"), F.col(vec_col).alias("v")),
+                    F.struct(F.col("c_sim"), (-F.col("cent_id")).alias("nc")),
+                ).alias("b")
+            )
+            .select(id_col, F.col("b.v").alias(vec_col), F.col("b.cent_id"))
+        )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cent_id").asc())
+    return (
+        paired.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_nearest)
         .select(id_col, vec_col, "cent_id")
     )
