@@ -91,13 +91,46 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col: F.Column, num_planes: int, dim: int) -> F.Column:
-    """8-bit (num_planes-bit) signature: bit j = [round(dot(v, h_j), 6) >= 0]."""
+def _plane_agg(vec_col: F.Column, num_planes: int, dim: int, finish) -> F.Column:
+    """All ``num_planes`` hyperplane dot products in ONE array traversal:
+    ``arrays_zip`` the vector with every plane, then a single
+    ``F.aggregate`` whose accumulator is a struct of running sums
+    d0..d{num_planes-1}. Per-dot summation stays sequential over the
+    dimensions — bit-identical doubles to ``dot_product`` called per
+    plane — but the interpreter walks the 64 elements once instead of
+    ``num_planes`` times (HOF lambdas are not codegen'd, so traversal
+    count is the cost driver). ``finish`` maps the final accumulator to
+    the result INSIDE the aggregate, so the (expensive) traversal
+    appears exactly once in the expression tree no matter how many dot
+    fields the result reads."""
+    zipped = F.arrays_zip(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        *[_lit_array(hyperplane(j, dim)).alias(f"h{j}") for j in range(num_planes)],
+    )
+    acc0 = F.struct(*[F.lit(0.0).alias(f"d{j}") for j in range(num_planes)])
+    return F.aggregate(
+        zipped,
+        acc0,
+        lambda acc, s: F.struct(
+            *[(acc[f"d{j}"] + s["v"] * s[f"h{j}"]).alias(f"d{j}") for j in range(num_planes)]
+        ),
+        finish,
+    )
+
+
+def _bucket_from_dots(acc: F.Column, num_planes: int) -> F.Column:
     bucket = F.lit(0).cast("long")
     for j in range(num_planes):
-        dot_j = F.round(dot_product(vec_col, _lit_array(hyperplane(j, dim))), ROUND_DECIMALS)
+        dot_j = F.round(acc[f"d{j}"], ROUND_DECIMALS)
         bucket = bucket + F.when(dot_j >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket(vec_col: F.Column, num_planes: int, dim: int) -> F.Column:
+    """8-bit (num_planes-bit) signature: bit j = [round(dot(v, h_j), 6) >= 0]."""
+    return _plane_agg(
+        vec_col, num_planes, dim, lambda acc: _bucket_from_dots(acc, num_planes)
+    )
 
 
 def ivf_assign(
@@ -228,22 +261,25 @@ def lsh_probe_buckets(vec_col: F.Column, num_planes: int, dim: int, n_probes: in
     true neighbor most likely landed on the other side). Deterministic:
     margins are rounded dots; ties break by plane index via the sort on
     (|dot|, plane)."""
-    margins = F.array(
-        *[
-            F.struct(
-                F.abs(
-                    F.round(dot_product(vec_col, _lit_array(hyperplane(j, dim))), ROUND_DECIMALS)
-                ).alias("m"),
-                F.lit(j).alias("j"),
-            )
-            for j in range(num_planes)
-        ]
-    )
-    flips = F.slice(F.array_sort(margins), 1, max(n_probes - 1, 0))
-    base = lsh_bucket(vec_col, num_planes, dim)
-    # shiftleft needs a literal bit count; 2^j via pow is exact for j < 31
-    flipped = F.transform(flips, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("long")))
-    return F.concat(F.array(base), flipped)
+    def finish(acc: F.Column) -> F.Column:
+        base = _bucket_from_dots(acc, num_planes)
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(F.round(acc[f"d{j}"], ROUND_DECIMALS)).alias("m"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(num_planes)
+            ]
+        )
+        flips = F.slice(F.array_sort(margins), 1, max(n_probes - 1, 0))
+        # shiftleft needs a literal bit count; 2^j via pow is exact for j < 31
+        flipped = F.transform(
+            flips, lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["j"]).cast("long"))
+        )
+        return F.concat(F.array(base), flipped)
+
+    return _plane_agg(vec_col, num_planes, dim, finish)
 
 
 def lsh_topk(
