@@ -291,6 +291,24 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch form of q_price_percentiles: ``approx_percentile``
+    builds mergeable per-partition digests (accuracy 10000 ⇒ rank error
+    ≤ 0.01%), so the shuffle carries one fixed-size sketch per group per
+    map task instead of sorting every group member — the 100 TB
+    percentile path. Sketch internals aren't SQL-portable, so like the
+    HLL query this is a rows-only check; the exact twin is the
+    hash-matched one. Unit sanity lives with the plan: p50 ≤ p90 ≤ p99
+    within each group is asserted in tests/test_asof_and_relational.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.approx_percentile("o_totalprice", 0.5, 10000), 4).alias("p50"),
+        F.round(F.approx_percentile("o_totalprice", 0.9, 10000), 4).alias("p90"),
+        F.round(F.approx_percentile("o_totalprice", 0.99, 10000), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
     two-level aggregation (orders per customer → customers per count).
@@ -480,6 +498,7 @@ ANALYTICS_QUERIES = {
     "q_order_rank_distribution": q_order_rank_distribution,
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "q_price_percentiles": q_price_percentiles,
+    "q_approx_percentiles": q_approx_percentiles,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,

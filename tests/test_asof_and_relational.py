@@ -62,3 +62,21 @@ def test_tie_among_right_rows_picks_greatest_value(spark):
         left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
     ).collect()
     assert r.prior == 2.0  # deterministic tie-break: larger value wins
+
+
+def test_approx_percentiles_ordered_and_near_exact(spark, sf_dir):
+    """Sketch percentiles: monotone within each group and within 2% of
+    the exact percentile at accuracy 10000 on the toy table."""
+    from flink_streaming_twitter_spark.plans.analytics import (
+        q_approx_percentiles,
+        q_price_percentiles,
+    )
+
+    approx = {r.o_orderpriority: r for r in q_approx_percentiles(spark, sf_dir).collect()}
+    exact = {r.o_orderpriority: r for r in q_price_percentiles(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys() and approx
+    for k, a in approx.items():
+        assert a.p50 <= a.p90 <= a.p99
+        for q in ("p50", "p90", "p99"):
+            e = getattr(exact[k], q)
+            assert abs(getattr(a, q) - e) <= 0.02 * abs(e) + 1e-9
