@@ -74,8 +74,9 @@ WITH per_bucket AS (
   FROM events GROUP BY 1
 )
 SELECT bucket_start, cnt,
-       sum(cnt) OVER (ORDER BY bucket_start
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+       CAST(sum(cnt) OVER (ORDER BY bucket_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_total
 FROM per_bucket
 """
 
@@ -89,7 +90,7 @@ FROM events GROUP BY 1, 2
 Q_JSON_EXTRACT = """
 SELECT event_type,
        count(*) AS n,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        avg(k) AS avg_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -163,7 +163,7 @@ WITH assigned AS (
               ELSE 'test' END AS split
   FROM documents
 )
-SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT source) AS n_sources
 FROM assigned GROUP BY split
 """
@@ -191,7 +191,7 @@ WITH admitted AS (
   WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})
         < CASE {_MIX_CASE} ELSE {int(round(MIX_DEFAULT * N_BUCKETS))} END
 )
-SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM admitted GROUP BY source
 """
 
@@ -238,8 +238,8 @@ admitted AS (
 )
 SELECT {_SPLIT_CASE} AS split, source,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(norm_text, '\w+'))) AS total_tokens,
-       sum(length(norm_text)) AS total_chars
+       CAST(sum(len(regexp_extract_all(norm_text, '\w+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(norm_text)) AS BIGINT) AS total_chars
 FROM admitted
 GROUP BY 1, 2
 """

@@ -49,12 +49,16 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens, n_uniq_tokens, n_chars,
-       nonspace / n_tokens AS avg_token_len,
-       n_stop / n_tokens AS stopword_ratio,
-       n_uniq_tokens / n_tokens AS uniq_ratio,
-       0.4 * (n_uniq_tokens / n_tokens)
-         + 0.4 * (1.0 - n_stop / n_tokens)
-         + 0.2 * least(n_tokens / 100.0, 1.0) AS quality_score
+       -- token-free docs (e.g. CJK-only under an ASCII \\w tokenizer) are
+       -- ratio 0 by definition, mirroring operators/textops.py
+       CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0.0 END AS avg_token_len,
+       CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN n_uniq_tokens / n_tokens ELSE 0.0 END AS uniq_ratio,
+       CASE WHEN n_tokens > 0 THEN
+         0.4 * (n_uniq_tokens / n_tokens)
+           + 0.4 * (1.0 - n_stop / n_tokens)
+           + 0.2 * least(n_tokens / 100.0, 1.0)
+       ELSE 0.0 END AS quality_score
 FROM m
 """
 
@@ -81,9 +85,9 @@ WITH per_doc AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(nt) AS total_tokens,
-       sum(ns) AS total_subwords,
-       sum(nc) AS total_chars,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(ns) AS BIGINT) AS total_subwords,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
        CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens_per_doc,
        CAST(sum(ns) AS DOUBLE) / sum(nt) AS subwords_per_token
 FROM per_doc
@@ -102,7 +106,7 @@ terms AS (
           * ({_POWERS}[((i - 1) % 8) + 1])) % {MERSENNE_31} AS term
   FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) g
 )
-SELECT doc_id, sum(term) % {MERSENNE_31} AS fingerprint
+SELECT doc_id, CAST(sum(term) % {MERSENNE_31} AS BIGINT) AS fingerprint
 FROM terms GROUP BY doc_id
 """
 

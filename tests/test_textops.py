@@ -52,6 +52,49 @@ def test_quality_metrics_shapes_and_ranges(spark):
     assert 0.0 < en.quality_score <= 1.0
 
 
+def test_quality_metrics_token_free_doc_is_all_zero(spark):
+    # CJK-only text has ZERO tokens under the ASCII \w tokenizer — the
+    # ratios must be defined-as-0, not a division error / NULL
+    rows = {r.doc_id: r for r in quality_metrics(_docs(spark)).collect()}
+    zh = rows[2]
+    assert zh.n_tokens == 0
+    assert zh.avg_token_len == 0.0
+    assert zh.stopword_ratio == 0.0
+    assert zh.uniq_ratio == 0.0
+    assert zh.quality_score == 0.0
+
+
+def test_quality_oracle_guard_parity_on_token_free_docs(spark):
+    """The DuckDB oracle must mirror the Spark guard for token-free docs
+    (VERDICT r1: an unguarded oracle division turns a CJK-only row into a
+    hard error or NULL-vs-0 divergence the sf corpus never exercises)."""
+    import duckdb
+
+    from flink_streaming_twitter_spark.plans.textops import TEXT_QUALITY_SQL
+
+    rows = [
+        (0, "the quick brown fox jumps the fence"),
+        (1, "这是一个中文句子没有假名"),  # token-free under ASCII \w
+        (2, ""),  # empty text
+    ]
+    got = {
+        r.doc_id: r
+        for r in quality_metrics(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = con.execute(TEXT_QUALITY_SQL).fetchdf().set_index("doc_id")
+    for doc_id, r in got.items():
+        o = oracle.loc[doc_id]
+        for c in ("n_tokens", "n_uniq_tokens", "n_chars"):
+            assert int(getattr(r, c)) == int(o[c]), (doc_id, c)
+        for c in ("avg_token_len", "stopword_ratio", "uniq_ratio", "quality_score"):
+            assert abs(float(getattr(r, c)) - float(o[c])) < 1e-9, (doc_id, c)
+
+
 def test_normalize_text_semantics(spark):
     from flink_streaming_twitter_spark.operators.textops import normalize_text
 

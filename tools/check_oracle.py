@@ -36,6 +36,15 @@ def compare(name, spark_df, duck_df) -> list[str]:
     sp, dp = canon(sp), canon(dp)
     for c in s_cols:
         a, b = sp[c], dp[c]
+        # driver-faithful: its exact value-hash sees int64 376 vs float64
+        # 376.0 as different (the DuckDB HUGEINT-sum artifact), so a
+        # dtype-KIND mismatch is a hard FAIL before any tolerance compare
+        if (a.dtype.kind in "iu") != (b.dtype.kind in "iu"):
+            problems.append(
+                f"column {c}: dtype kind mismatch spark={a.dtype} duck={b.dtype}"
+                " (driver hash would fail: int vs float)"
+            )
+            continue
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             import numpy as np
 
