@@ -296,16 +296,30 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds mergeable per-partition digests (accuracy 10000 ⇒ rank error
     ≤ 0.01%), so the shuffle carries one fixed-size sketch per group per
     map task instead of sorting every group member — the 100 TB
-    percentile path. Sketch internals aren't SQL-portable, so like the
-    HLL query this is a rows-only check; the exact twin is the
-    hash-matched one. Unit sanity lives with the plan: p50 ≤ p90 ≤ p99
-    within each group is asserted in tests/test_asof_and_relational.py."""
+    percentile path.
+
+    Sketch outputs aren't SQL-portable, so this emits a BOUNDED oracle:
+    the exact quantiles (DuckDB-reproducible, same as
+    q_price_percentiles) plus ``sketch_ok`` — each approx quantile lies
+    within the exact [q−0.01, q+0.01] quantile bracket, a rank-error
+    bound 100× looser than the sketch's guarantee. The oracle emits the
+    same exact columns with ``TRUE``, so the driver hash certifies the
+    sketch bound instead of recording `no_oracle`. In production only
+    the sketch runs; the exact percentiles exist to power the check."""
     orders = load_table(spark, sf_dir, "orders")
+
+    def bracket(q: float) -> F.Column:
+        ap = F.approx_percentile("o_totalprice", q, 10000)
+        lo = F.percentile("o_totalprice", max(q - 0.01, 0.0))
+        hi = F.percentile("o_totalprice", min(q + 0.01, 1.0))
+        return (ap >= lo) & (ap <= hi)
+
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.approx_percentile("o_totalprice", 0.5, 10000), 4).alias("p50"),
-        F.round(F.approx_percentile("o_totalprice", 0.9, 10000), 4).alias("p90"),
-        F.round(F.approx_percentile("o_totalprice", 0.99, 10000), 4).alias("p99"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99_exact"),
         F.count(F.lit(1)).alias("n"),
+        (bracket(0.5) & bracket(0.9) & bracket(0.99)).alias("sketch_ok"),
     )
 
 
@@ -706,6 +720,19 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
        count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    # bounded oracle for the sketch twin: exact quantiles in SQL, TRUE
+    # for the bound flag — hash matches iff every approx_percentile fell
+    # inside its exact ±0.01-rank bracket Spark-side
+    "q_approx_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+       count(*) AS n,
+       TRUE AS sketch_ok
 FROM orders
 GROUP BY o_orderpriority
 """,

@@ -22,15 +22,26 @@ def extension_queries() -> dict[str, QueryFn]:
     from .textops import TEXTOPS_QUERIES
     from .tpch_extra import TPCH_EXTRA_QUERIES
 
+    # Registration order IS verification priority: the driver's gate
+    # checks the first 50 queries() entries (8 reference + first 42
+    # here), so families that still need a CORRECTNESS row come first
+    # (round 1 checked only the first 50 and left textops/misc/pipeline/
+    # relational unverified — VERDICT.md §"What's missing" item 1). The
+    # TPC-H shapes, all hash-green in round 1, rotate to the tail; dict
+    # update keeps first-insertion position, so re-adding
+    # tpch_q12_late_shipments with TPCH_EXTRA_QUERIES is a no-op.
     q: dict[str, QueryFn] = {}
-    q.update(ANALYTICS_QUERIES)
-    q.update(TPCH_EXTRA_QUERIES)
-    q.update(DEDUP_QUERIES)
-    q.update(SIMILARITY_QUERIES)
     q.update(TEXTOPS_QUERIES)
     q.update(MISC_QUERIES)
     q.update(PIPELINE_QUERIES)
     q.update(RELATIONAL_QUERIES)
+    # round-1 hash-fail (oracle HUGEINT artifact, now CAST AS BIGINT):
+    # pulled forward so the fixed oracle gets re-verified
+    q["tpch_q12_late_shipments"] = TPCH_EXTRA_QUERIES["tpch_q12_late_shipments"]
+    q.update(DEDUP_QUERIES)
+    q.update(SIMILARITY_QUERIES)
+    q.update(ANALYTICS_QUERIES)
+    q.update(TPCH_EXTRA_QUERIES)
     return q
 
 

@@ -109,17 +109,35 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, rsd 1%) next to the exact
-    count — the sketch every 100 TB cardinality query should use (the
-    exact expand+two-phase distinct in q_distinct_users shuffles one row
-    per distinct value; the HLL sketch shuffles a fixed ~KB register set
-    per group). No DuckDB oracle: HLL++ estimates are engine-specific, so
-    the driver records the rows-only check; the pytest suite asserts the
-    estimate lands within 3·rsd of exact."""
+    """approx_count_distinct (HyperLogLog++, rsd 1%) — the sketch every
+    100 TB cardinality query should use (the exact expand+two-phase
+    distinct in q_distinct_users shuffles one row per distinct value; the
+    HLL sketch shuffles a fixed ~KB register set per group).
+
+    HLL++ register values are engine-specific, so the raw estimate can't
+    be hash-compared against DuckDB. Instead this emits a BOUNDED oracle:
+    the exact count (which DuckDB reproduces) plus ``hll_ok`` — the
+    sketch landed within 3·rsd of exact (floor of 5 absolute for tiny
+    groups, where HLL++ is exact-by-construction anyway). The oracle
+    emits the same exact columns with ``TRUE``, so the driver's hash
+    verdict certifies the sketch's error bound, not just row counts.
+    In production only the sketch runs; the exact twin here exists to
+    power the bound check."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    tol = F.greatest(F.lit(3 * 0.01) * F.col("exact_users"), F.lit(5.0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias("hll_ok"),
+        )
     )
 
 
@@ -199,6 +217,16 @@ GROUP BY 1
 SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    # bounded oracle: exact columns reproduced in SQL, TRUE for the bound
+    # flag — hash matches iff Spark's HLL estimate met its error bound
+    "q_approx_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS hll_ok
 FROM events
 GROUP BY event_type
 """,
