@@ -29,9 +29,21 @@ def md5_int60(col: Column) -> Column:
 
 
 def md5_int64_signed(col: Column) -> Column:
-    """First 16 hex digits of md5 as a signed int64 (64 bits, may be
-    negative). Used for SimHash bit sampling."""
-    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("long")
+    """First 16 hex digits of md5 as the signed int64 holding those 64
+    bits (two's complement; may be negative).
+
+    ``conv(...16 hex digits..., 16, 10)`` returns the UNSIGNED decimal
+    string (up to 2^64-1); casting that to long throws for values
+    >= 2^63 under Spark 4's default ANSI mode (~half of all md5
+    outputs). Assemble the value arithmetically instead: low 60 bits
+    plus the sign-adjusted top nibble scaled by 2^60 — every
+    intermediate stays inside int64 (the extreme is -8 * 2^60 =
+    -2^63, exactly the int64 minimum)."""
+    h = F.md5(col)
+    low60 = F.conv(F.substring(h, 2, 15), 16, 10).cast("long")
+    top4 = F.conv(F.substring(h, 1, 1), 16, 10).cast("long")
+    signed_top = F.when(top4 >= 8, top4 - F.lit(16)).otherwise(top4)
+    return signed_top * F.lit(1 << 60) + low60
 
 
 def md5_int31(col: Column) -> Column:

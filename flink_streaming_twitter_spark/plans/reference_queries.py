@@ -177,7 +177,12 @@ def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
         )
         q = start_query(counts, name=view, output_mode="update", available_now=True)
-        q.awaitTermination(600)
+        # on timeout the query would keep reading the symlink the finally
+        # block deletes and the memory sink would be half-populated —
+        # stop it and fail loudly instead
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_qb_counts: drain did not finish within 600s")
         # the memory-sink view stays registered so the caller can
         # evaluate lazily; dropped on the next invocation
         return (
