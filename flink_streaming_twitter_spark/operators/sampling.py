@@ -21,10 +21,10 @@ lowercase-hex string. Cost: one cryptographic hash per row, JVM-side
 Scale notes (100 TB): all three ops are embarrassingly parallel
 narrow transforms except ``cap_per_key``, which shuffles once on the
 partition key — same profile as any per-key top-k. A skewed domain
-(one source = 30% of the corpus) makes one reducer hot; the
-``row_number`` window only needs the top-k though, so for pathological
-skew compose with ``operators/skew.py``'s salted two-phase top-k: keep
-k per (key, salt) first, then k of the k·n_salt survivors.
+(one source = 30% of the corpus) makes one reducer hot; for that case
+use ``cap_per_key_salted``: keep k per (key, salt) first — n_salts
+reducers absorb the hot key — then k of the ≤ k·n_salts survivors,
+with survivors provably identical to the single-window form.
 """
 
 from __future__ import annotations
@@ -141,3 +141,47 @@ def cap_per_key(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def cap_per_key_salted(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    n_salts: int = 16,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant two-phase form of :func:`cap_per_key` for a
+    pathologically hot key (one domain = 30% of a 100 TB corpus would
+    otherwise serialize through a single reducer's window sort):
+
+    phase 1 keeps k per ``(key, salt)`` — the hot key's rows spread over
+    ``n_salts`` reducers, each sorting only its shard — and phase 2 runs
+    the plain window over the ≤ k·n_salts survivors per key, a
+    negligible input regardless of skew.
+
+    Survivors are IDENTICAL to ``cap_per_key``'s for any total order
+    (``order_cols`` must include a unique tiebreak, same contract):
+    each of the global top-k rows of a key has at most k-1 rows of that
+    key ranked above it overall, hence at most k-1 in its own salt
+    bucket — so every global top-k row survives phase 1, and phase 2
+    applies the very same ranking to a superset-free candidate pool.
+
+    The per-row salt is deterministic (``pmod(hash(salt_from), n_salts)``,
+    default: all columns) so retries and speculative tasks agree —
+    never ``rand()``. Same discipline as operators/skew.py's
+    ``salted_join``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_salts < 2:
+        raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    salt_cols = [F.col(c) for c in (salt_from or df.columns)]
+    salted = df.withColumn("__salt", F.pmod(F.hash(*salt_cols), F.lit(n_salts)))
+    w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    return cap_per_key(survivors, partition_cols, order_cols, k)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_twitter_spark.operators.sampling import (
     cap_per_key,
+    cap_per_key_salted,
     hash_bucket,
     hash_sample,
     hash_split,
@@ -81,6 +82,37 @@ def test_cap_per_key_deterministic_under_ties(spark):
     got = sorted((r.source, r.doc_id) for r in out.collect())
     # all n_chars tie in s1 → doc_id ascending decides, deterministically
     assert got == [("s1", 0), ("s1", 1), ("s1", 2), ("s2", 50)]
+
+
+def test_cap_per_key_salted_identical_survivors_on_skew(spark):
+    """The two-phase salted top-k must return EXACTLY the plain window's
+    survivor set on a skewed fixture (one hot key with 94% of the rows,
+    ties included), for k both below and above a salt bucket's share."""
+    rows = (
+        [("hot", i, 1000 - (i % 7)) for i in range(470)]  # ties every 7
+        + [("cold", i, 50 + i) for i in range(20)]
+        + [("single", 0, 1)]
+    )
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    for k in (3, 40):
+        plain = sorted(
+            (r.source, r.doc_id)
+            for r in cap_per_key(df, ["source"], order, k).collect()
+        )
+        salted = sorted(
+            (r.source, r.doc_id)
+            for r in cap_per_key_salted(df, ["source"], order, k, n_salts=8).collect()
+        )
+        assert salted == plain, f"k={k}"
+
+
+def test_cap_per_key_salted_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a", 1)], ["source", "doc_id"])
+    with pytest.raises(ValueError):
+        cap_per_key_salted(df, ["source"], ["doc_id"], 0)
+    with pytest.raises(ValueError):
+        cap_per_key_salted(df, ["source"], ["doc_id"], 1, n_salts=1)
 
 
 def test_weighted_mix_respects_domain_fractions(spark):
