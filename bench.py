@@ -53,7 +53,9 @@ def _stream_qb_drain(spark) -> float:
         q = start_query(
             counts, name="bench_stream_qb", output_mode="update", available_now=True
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("bench stream drain did not finish within 600s")
         elapsed = time.perf_counter() - t0
         spark.catalog.dropTempView("bench_stream_qb")
         return elapsed
@@ -76,6 +78,23 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
+    # untimed warmup pass at the smallest SF: compiles every query's
+    # whole-stage codegen (the wide simhash/minhash expressions take
+    # seconds of janino work on first use), spawns the Arrow/Python
+    # worker pool, and JITs hot paths — WITHOUT pre-building the timed
+    # pass's caches (different parquet paths → different cache keys; the
+    # tiny frames it does cache are dropped below). Round 1's per-query
+    # numbers silently depended on run position for this warmth; the
+    # explicit pass makes every query's number a steady-state one.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
+        for name, fn in qs.items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
@@ -91,7 +110,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(out))
+    # round 1's single stdout line got head-truncated in the driver's
+    # tail capture ("parsed": null) — persist the JSON to a file too so
+    # the record survives any stdout mangling
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 
