@@ -10,6 +10,7 @@ and none occur here.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,11 +143,31 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def nfc_udf():
+    """Arrow-batched Unicode NFC normalizer (``unicodedata.normalize``):
+    the one text-cleanup step Spark has no built-in for. A pandas_udf
+    keeps the Python hop vectorized per Arrow batch — this belongs at
+    INGEST (run once, persist the result), not inside every query's hot
+    path, which is why :func:`normalize_text` leaves it off by default."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc
+
+
 def normalize_text(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_cols: tuple[str, ...] = (),
+    nfc: bool = False,
 ) -> DataFrame:
     """Canonical text cleanup pass — the transform every corpus runs
     before dedup/tokenization so that cosmetic variants (case, runs of
@@ -163,13 +184,18 @@ def normalize_text(
     Emits the normalized text plus audit columns (``changed``,
     ``chars_removed``) so a pipeline can report how much cleanup the
     corpus needed. Pure per-row Column expressions — codegen-fused into
-    the scan, shuffle-free, trivially 100 TB-parallel. (Unicode NFC
-    normalization is deliberately out: Spark has no built-in and a
-    Python UDF would put a per-row interpreter hop in the hottest path;
-    documented gap, do it at ingest.)"""
+    the scan, shuffle-free, trivially 100 TB-parallel.
+
+    ``nfc=True`` additionally canonicalizes Unicode (NFC) FIRST, via the
+    Arrow-batched :func:`nfc_udf` — so combining-mark variants of the
+    same word ("café" vs "café") hash identically downstream.
+    Off by default: it inserts a vectorized Python stage, which belongs
+    in a run-once ingest pass, not in every query over the corpus (the
+    default path stays 100% JVM-side)."""
+    base = nfc_udf()(F.col(text_col)) if nfc else F.col(text_col)
     cleaned = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "),
+            F.regexp_replace(F.lower(base), "\\s+", " "),
             "[\\x00-\\x1f\\x7f]",
             "",
         )

@@ -110,3 +110,15 @@ def test_normalize_text_semantics(spark):
     assert got[2] == ("already clean", False, 0)
     assert got[3] == ("ctrlcharhere", True, 2)
     assert got[4] == ("a b", True, 0)
+
+
+def test_normalize_text_nfc_unifies_combining_marks(spark):
+    from flink_streaming_twitter_spark.operators.textops import normalize_text
+
+    decomposed = "cafe\u0301"  # e + COMBINING ACUTE ACCENT
+    precomposed = "caf\u00e9"  # precomposed LATIN SMALL LETTER E WITH ACUTE
+    df = spark.createDataFrame([(1, decomposed), (2, precomposed)], ["doc_id", "text"])
+    plain = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert plain[1] != plain[2]  # default JVM-only path preserves the bytes
+    nfc = {r.doc_id: r.norm_text for r in normalize_text(df, nfc=True).collect()}
+    assert nfc[1] == nfc[2] == precomposed  # canonical under NFC
