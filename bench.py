@@ -99,6 +99,14 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # several queries persist() intermediates (dedup signature/shingle
+        # tables, similarity buckets) that nothing unpersists once the
+        # result is materialized; across 72 sequential queries those
+        # blocks accumulate in the one local JVM heap and the resulting
+        # GC/eviction pressure showed up as 3x run-to-run swings on the
+        # late-running queries. Dropping the cache between queries makes
+        # every timing a cold-cache, steady-heap measurement.
+        spark.catalog.clearCache()
 
     timings["stream_qb_drain"] = round(_stream_qb_drain(spark), 3)
 

@@ -46,7 +46,12 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # streaming: state compaction-friendly defaults; harmless in batch
         .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver + all 32 task threads + block manager in
+        # ONE JVM: 8g was enough for any single query but not for the
+        # bench's 72-query sequence (cache blocks + shuffle buffers from
+        # 32 concurrent tasks), where GC pressure caused 3x timing swings.
+        # 24g mirrors a real cluster's per-executor sizing (~0.75g/core).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # testdata parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as int64 nanos, converted in sources/files.py

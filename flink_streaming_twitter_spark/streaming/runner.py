@@ -37,6 +37,10 @@ from ..operators.topk import per_window_top1
 WATERMARK = "300 seconds"
 TRIGGER = "5 seconds"
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def start_query(
     df: DataFrame,
@@ -48,12 +52,37 @@ def start_query(
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """writeStream wiring shared by every pipeline.
 
     ``available_now=True`` drains the source and stops — the mode the
     replay tests use for deterministic stream==batch assertions.
+
+    ``state_store="rocksdb"`` selects the RocksDB state store provider
+    for this query — the 100 TB streaming-state path: the default
+    HDFS-backed provider keeps every key-window pair's state in executor
+    HEAP (state size is then bounded by executor memory), while RocksDB
+    spills to local SSD and bounds only the working set. Changelog
+    checkpointing is enabled with it so per-batch commits upload deltas
+    instead of full SST snapshots. The provider class is a session conf
+    captured by each query AT START, so it is set here just before
+    ``start()``; queries already running are unaffected, but set it back
+    (or pass ``state_store=None``, which leaves the conf untouched) before
+    concurrently starting a query that must use the default provider.
     """
+    if state_store is not None:
+        spark = df.sparkSession
+        if state_store == "rocksdb":
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
+        elif state_store in ("hdfs", "default"):
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            raise ValueError(f"unknown state_store {state_store!r}")
     w = df.writeStream.queryName(name).outputMode(output_mode)
     if available_now:
         w = w.trigger(availableNow=True)

@@ -75,6 +75,66 @@ def test_stream_windowed_counts_equal_batch(spark, replay_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_windowed_counts_on_rocksdb_state_store(spark, replay_dir):
+    """Same stream==batch property with the RocksDB state store provider —
+    the 100 TB streaming-state path (state on local SSD, not executor
+    heap). Asserts the state actually went through RocksDB: the
+    checkpoint's state dir holds SST/zip snapshots, not the default
+    provider's .delta files."""
+    import glob
+    import os
+
+    ckpt = tempfile.mkdtemp(prefix="rocks_ck_")
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(replay_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            pipe.windowed_counts("10 seconds", "5 seconds"),
+            name="wc_rocks",
+            output_mode="complete",
+            available_now=True,
+            checkpoint_dir=ckpt,
+            state_store="rocksdb",
+        )
+        assert q.awaitTermination(120)
+
+        batch = spark.read.schema(SCHEMA).parquet(replay_dir)
+        expected = {
+            (r.w_start, r.event_type): r.cnt
+            for r in (
+                batch.groupBy(
+                    F.window("ts", "10 seconds", "5 seconds").alias("window"), "event_type"
+                )
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(F.col("window.start").cast("long").alias("w_start"), "event_type", "cnt")
+                .collect()
+            )
+        }
+        got = {
+            (r.w_start, r.event_type): r.cnt
+            for r in spark.sql("SELECT * FROM wc_rocks").collect()
+        }
+        assert got == expected and len(got) > 0
+
+        # RocksDB evidence: with changelog checkpointing each batch commits
+        # a .changelog delta (snapshots/.zip+SSTs appear on the periodic
+        # maintenance cadence); the default HDFS provider would have
+        # written .delta files instead
+        state_files = glob.glob(os.path.join(ckpt, "state", "**"), recursive=True)
+        assert any(
+            f.endswith((".zip", ".changelog")) or "SSTs" in f for f in state_files
+        )
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_running_total_converges(spark, replay_dir):
     stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(replay_dir)
     pipe = StreamingPipelines(stream, "ts", "event_type")
