@@ -7,6 +7,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is fully materialized via a count() over the result (forces
 every exchange/aggregate; avoids driver-side transfer skewing timings).
+Per-query seconds are the minimum over SPARK_GRAFT_BENCH_PASSES (default
+2) timed passes — steady-state plan cost, robust to one-sided JIT/GC
+noise in the shared local JVM (rationale inline below).
 """
 
 from __future__ import annotations
@@ -78,35 +81,30 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
-    # untimed warmup pass at the smallest SF: compiles every query's
-    # whole-stage codegen (the wide simhash/minhash expressions take
-    # seconds of janino work on first use), spawns the Arrow/Python
-    # worker pool, and JITs hot paths — WITHOUT pre-building the timed
-    # pass's caches (different parquet paths → different cache keys; the
-    # tiny frames it does cache are dropped below). Round 1's per-query
-    # numbers silently depended on run position for this warmth; the
-    # explicit pass makes every query's number a steady-state one.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
+    # Two timed passes, report each query's MINIMUM. One pass is not a
+    # stable measurement in a single long-lived JVM: (a) the first
+    # execution of a heavy query pays C2 JIT compilation of the
+    # generated loops (measured 9.5 s vs 1.4 s steady-state on the LSH
+    # self-join — a small-SF warmup can't fix this, the JIT triggers on
+    # row volume); (b) broadcast/shuffle/checkpoint cleanup debt from
+    # the preceding ~70 queries is GC-driven and lands as a multi-second
+    # burst on WHICHEVER query is running when the collector fires —
+    # across runs the spike roamed between the dedup and similarity
+    # families. The min over two passes is the steady-state plan cost
+    # (the condition a long-lived cluster runs in); one-sided noise
+    # would have to hit the same query in both passes to survive.
+    # Caches are dropped between queries (several queries persist()
+    # intermediates nothing unpersists) and an explicit GC between
+    # passes flushes the cleanup debt at a known point.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for _ in range(n_passes):
         for name, fn in qs.items():
-            try:
-                fn(spark, warm_dir).count()
-            except Exception:
-                pass
-        spark.catalog.clearCache()
-
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # several queries persist() intermediates (dedup signature/shingle
-        # tables, similarity buckets) that nothing unpersists once the
-        # result is materialized; across 72 sequential queries those
-        # blocks accumulate in the one local JVM heap and the resulting
-        # GC/eviction pressure showed up as 3x run-to-run swings on the
-        # late-running queries. Dropping the cache between queries makes
-        # every timing a cold-cache, steady-heap measurement.
-        spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     timings["stream_qb_drain"] = round(_stream_qb_drain(spark), 3)
 
