@@ -140,6 +140,11 @@ class StreamingPipelines:
         key_col: str = "event_type",
         watermark: str = WATERMARK,
     ):
+        # withWatermark requires TIMESTAMP (LTZ); parquet written with
+        # isAdjustedToUTC=false loads as TIMESTAMP_NTZ. The session runs
+        # UTC, so the cast is value-preserving.
+        if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+            stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         self.stream = stream.withWatermark(ts_col, watermark)
         self.ts_col = ts_col
         self.key_col = key_col
