@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_by_window": reference_queries.q_value_by_window,
         "q_tokenize_topk": reference_queries.q_tokenize_topk,
         "stream_qb_counts": reference_queries.stream_qb_counts,
+        "stream_dedup_keys": reference_queries.stream_dedup_keys,
+        "stream_qa_trending": reference_queries.stream_qa_trending,
     }
     q.update(extensions.extension_queries())
     return q

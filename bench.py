@@ -116,13 +116,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # round 1's single stdout line got head-truncated in the driver's
-    # tail capture ("parsed": null) — persist the JSON to a file too so
-    # the record survives any stdout mangling
+    # round 1+2's full stdout line got head-truncated in the driver's
+    # tail capture ("parsed": null) — persist the JSON to a file, AND
+    # print a compact headline line LAST (the driver tails stdout, so
+    # the short parseable record must be nearest the end; the full
+    # per-query map precedes it and lives in BENCH.json regardless)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         json.dump(out, f)
         f.write("\n")
+    compact = {"metric": out["metric"], "value": out["value"], "unit": "sec", "sf": sf}
+    # compact line BOTH sides of the full record: whichever end of stdout
+    # the driver's capture keeps, a complete parseable line survives
+    print(json.dumps(compact, separators=(",", ":")))
     print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

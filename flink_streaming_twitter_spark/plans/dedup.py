@@ -60,18 +60,12 @@ def dedup_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup decision: union the pairwise evidence (exact-dup
-    pairs + MinHash-LSH near-dup pairs), run connected components
-    (operators/graph.py), and emit one row per document with its cluster
-    id and the keep decision (keep = min doc_id of the cluster). The
-    iterative-algorithm entry of the suite — oracle-checked via a DuckDB
-    recursive CTE computing the same min-reachable-id labels."""
+def _dup_evidence(docs: DataFrame) -> DataFrame:
+    """(src, dst) pairwise dup evidence shared by both cluster queries:
+    exact-dup star edges (min doc_id per normalized-text key → every
+    other member) unioned with the MinHash-LSH near-dup pairs."""
     from pyspark.sql import Window
 
-    from ..operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
     exact_pairs = (
         docs.select(D.normalized_text_key(F.col("text")).alias("text_key"), "doc_id")
         .withColumn("kept", F.min("doc_id").over(Window.partitionBy("text_key")))
@@ -85,9 +79,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_threshold=P.MINHASH_EST_THRESHOLD,
         shingle_k=P.SHINGLE_K,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(
-        exact_pairs.union(near_pairs), nodes=docs.select(F.col("doc_id").alias("id"))
-    )
+    return exact_pairs.union(near_pairs)
+
+
+def _cluster_output(comp: DataFrame) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
@@ -95,9 +90,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: union the pairwise evidence (exact-dup
+    pairs + MinHash-LSH near-dup pairs), run connected components
+    (operators/graph.py), and emit one row per document with its cluster
+    id and the keep decision (keep = min doc_id of the cluster). The
+    iterative-algorithm entry of the suite — oracle-checked via a DuckDB
+    recursive CTE computing the same min-reachable-id labels."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return _cluster_output(comp)
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract, same edge evidence, and same recursive-CTE oracle
+    as :func:`dedup_clusters`, but the closure runs through
+    ``connected_components_star`` (operators/graph.py:103) — the
+    alternating large-star/small-star contraction (Kiveris et al., SoCC
+    2014) that converges in O(log n) rounds instead of O(diameter).
+    Identical labels, different physical plan: this is the deep-graph
+    insurance path a 100 TB corpus needs when transitive near-dup chains
+    run long (e.g. across crawl snapshots), promoted to its own gate
+    entry so the driver hash-verifies the variant, not just pytest."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components_star(
+        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    return _cluster_output(comp)
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_lsh_exact": dedup_lsh_exact,
@@ -321,6 +352,9 @@ def dedup_oracles() -> dict[str, str]:
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_clusters": _clusters_sql(),
+        # identical labels by construction — the star variant must
+        # reproduce plain propagation's answer exactly
+        "dedup_clusters_star": _clusters_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "dedup_lsh_exact": _lsh_exact_sql(),

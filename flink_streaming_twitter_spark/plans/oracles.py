@@ -139,6 +139,47 @@ FROM slid GROUP BY 1, 2, 3
 """
 
 
+STREAM_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+# Append-mode emission envelope: a (sampling) window fires only once the
+# watermark passes its end; a bounded replay's final watermark is
+# max(event time observed, ms precision) − the 300 s delay
+# (streaming/runner.py WATERMARK_S), so the oracle keeps exactly the
+# windows the drained stream finalizes. Window ends are whole seconds
+# and the generated event times are not, so <= vs < cannot be hit on a
+# boundary tie.
+_STREAM_WM_MS = "(SELECT epoch_ms(max(ts)) - 300000 FROM events)"
+
+STREAM_QA_TRENDING = f"""
+WITH slid AS (
+  SELECT
+    CAST(floor(epoch(ts)/{P.TREND_SLIDE_S}) AS BIGINT)*{P.TREND_SLIDE_S} - k.k*{P.TREND_SLIDE_S} AS w_start,
+    event_type
+  FROM events
+  CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+),
+stage1 AS (
+  SELECT w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
+  FROM slid GROUP BY 1, 2
+),
+sampled AS (
+  SELECT w_end - (w_end % {P.SAMPLE_SLIDE_S}) AS sample_w_start, event_type, cnt
+  FROM stage1
+  WHERE (w_end % {P.SAMPLE_SLIDE_S}) < {P.SAMPLE_SIZE_S}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY sample_w_start ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM sampled
+)
+SELECT sample_w_start, event_type AS top_event_type, cnt AS top_cnt
+FROM ranked
+WHERE rn = 1 AND sample_w_start * 1000 <= {_STREAM_WM_MS}
+"""
+
+
 def reference_oracles() -> dict[str, str]:
     return {
         "qa_trending_two_stage": QA_TRENDING_TWO_STAGE,
@@ -149,4 +190,6 @@ def reference_oracles() -> dict[str, str]:
         "q_value_by_window": Q_VALUE_BY_WINDOW,
         "q_tokenize_topk": Q_TOKENIZE_TOPK,
         "stream_qb_counts": STREAM_QB_COUNTS,
+        "stream_dedup_keys": STREAM_DEDUP_KEYS,
+        "stream_qa_trending": STREAM_QA_TRENDING,
     }

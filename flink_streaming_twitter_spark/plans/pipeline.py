@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import cap_per_key, hash_split, weighted_mix
+from ..operators.sampling import cap_per_key, cap_per_key_salted, hash_split, weighted_mix
 from ..operators.textops import normalize_text
 from ..sources.files import load_table
 
@@ -55,6 +55,26 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars")
 
 
+def q_cap_per_source_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant two-phase form of :func:`q_cap_per_source`
+    (operators/sampling.py::cap_per_key_salted): phase 1 keeps CAP_K per
+    (source, deterministic-salt) so a pathologically hot source spreads
+    over n_salts reducers, phase 2 re-ranks the ≤ CAP_K·n_salts
+    survivors. Survivors are provably identical to the plain window for
+    any total order, so this entry shares q_cap_per_source's oracle —
+    the gate verifies the equivalence proof on real data, not just the
+    property test (tests/test_sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_key_salted(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        CAP_K,
+        n_salts=8,
+        salt_from=["doc_id"],
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-weighted admission: per-source keep-fractions via the
     deterministic bucket, profiled per source. Shuffle-free until the
@@ -72,6 +92,18 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase, whitespace collapse, control strip, trim — with audit
     columns. Pure per-row expressions fused into the scan."""
     return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_text_normalize` with Unicode NFC canonicalization first
+    (operators/textops.py::normalize_text(nfc=True)) — the Arrow-batched
+    ``pandas_udf`` ingest variant, checked against DuckDB's
+    ``nfc_normalize``. The synthetic corpus is ASCII, where NFC is the
+    identity, so THIS row certifies the vectorized-UDF plumbing
+    end-to-end through the driver; the combining-mark semantics
+    ("café" composed vs decomposed hashing identically) are pinned by
+    the fixture test in tests/test_textops.py."""
+    return normalize_text(load_table(spark, sf_dir, "documents"), nfc=True)
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +179,10 @@ PIPELINE_QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_hash_split_counts": q_hash_split_counts,
     "q_cap_per_source": q_cap_per_source,
+    "q_cap_per_source_salted": q_cap_per_source_salted,
     "q_mix_weighted": q_mix_weighted,
     "q_text_normalize": q_text_normalize,
+    "q_text_normalize_nfc": q_text_normalize_nfc,
 }
 
 _BUCKET = f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {N_BUCKETS})"
@@ -200,6 +234,23 @@ WITH n AS (
   SELECT doc_id, text,
          trim(regexp_replace(
               regexp_replace(lower(text), '\s+', ' ', 'g'),
+              '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       norm_text != text AS changed,
+       length(text) - length(norm_text) AS chars_removed
+FROM n
+"""
+
+# identical pipeline with DuckDB's Unicode NFC canonicalization applied
+# first — the twin of normalize_text(nfc=True)'s unicodedata.normalize
+# (both implement Unicode Standard Annex #15 NFC)
+TEXT_NORMALIZE_NFC_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+              regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'),
               '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
   FROM documents
 )
@@ -275,6 +326,10 @@ def pipeline_oracles() -> dict[str, str]:
         "q_incremental_dedup": INCREMENTAL_DEDUP_SQL,
         "q_hash_split_counts": HASH_SPLIT_SQL,
         "q_cap_per_source": CAP_PER_SOURCE_SQL,
+        # survivors provably identical to the plain window — the salted
+        # two-phase form must reproduce the same rows exactly
+        "q_cap_per_source_salted": CAP_PER_SOURCE_SQL,
         "q_mix_weighted": MIX_WEIGHTED_SQL,
         "q_text_normalize": TEXT_NORMALIZE_SQL,
+        "q_text_normalize_nfc": TEXT_NORMALIZE_NFC_SQL,
     }

@@ -135,6 +135,63 @@ def q_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(counts, "cnt", P.TOKEN_TOP_K, "token").select("token", "cnt")
 
 
+def _drain_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    view: str,
+    build: "Callable[[object], DataFrame]",
+    output_mode: str,
+    state_store: str | None = None,
+) -> DataFrame:
+    """Replay the events table through the ACTUAL Structured Streaming
+    engine and return the drained memory sink as a batch DataFrame.
+
+    Shared harness for every ``stream_*`` gate entry: symlink the parquet
+    into a temp dir, readStream it, apply ``build(StreamingPipelines)``,
+    drain with availableNow into a memory sink named ``view``. The sink
+    view stays registered so the returned DataFrame can be evaluated
+    lazily; it is dropped and rebuilt on the next invocation.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.runner import StreamingPipelines, start_query
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong/UTC session confs
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix=f"{view}_")
+    try:
+        spark.catalog.dropTempView(view)  # idempotent re-runs
+    except Exception:
+        pass
+    try:
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            build(pipe),
+            name=view,
+            output_mode=output_mode,
+            available_now=True,
+            state_store=state_store,
+        )
+        # on timeout the query would keep reading the symlink the finally
+        # block deletes and the memory sink would be half-populated —
+        # stop it and fail loudly instead
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{view}: drain did not finish within 600s")
+        return spark.table(view)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-B stage 1 executed by the ACTUAL Structured Streaming engine —
     not a batch twin: the events table is replayed through readStream →
@@ -150,45 +207,72 @@ def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts are monotone per key); with the single-file test tables one
     micro-batch emits exactly the final counts and the max is a no-op.
     """
-    import os
-    import shutil
-    import tempfile
-
-    from ..streaming.runner import StreamingPipelines, start_query
-
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong/UTC session confs
-    src = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="stream_qb_counts_")
-    view = "stream_qb_counts_sink"
-    try:
-        spark.catalog.dropTempView(view)  # idempotent re-runs
-    except Exception:
-        pass
-    try:
-        os.symlink(src, os.path.join(d, "events.parquet"))
-        schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(d)
-        if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        pipe = StreamingPipelines(stream, "ts", "event_type")
-        counts = pipe.windowed_counts(
+    sink = _drain_events_stream(
+        spark,
+        sf_dir,
+        "stream_qb_counts_sink",
+        lambda pipe: pipe.windowed_counts(
             f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
-        )
-        q = start_query(counts, name=view, output_mode="update", available_now=True)
-        # on timeout the query would keep reading the symlink the finally
-        # block deletes and the memory sink would be half-populated —
-        # stop it and fail loudly instead
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("stream_qb_counts: drain did not finish within 600s")
-        # the memory-sink view stays registered so the caller can
-        # evaluate lazily; dropped on the next invocation
-        return (
-            spark.table(view)
-            .groupBy("w_start", "w_end", "event_type")
-            .agg(F.max("cnt").alias("cnt"))
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        ),
+        output_mode="update",
+    )
+    return sink.groupBy("w_start", "w_end", "event_type").agg(
+        F.max("cnt").alias("cnt")
+    )
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the real engine:
+    ``dropDuplicatesWithinWatermark`` (streaming/runner.py:
+    dedup_within_watermark — the watermark-state-bounded streaming twin
+    of operators/dedup.exact_dedup) over the replayed events, keyed on
+    (user_id, event_type), append mode.
+
+    Only the dedup key columns are emitted: which physical row survives
+    per key is an engine-internal ordering choice, but the KEY SET — and
+    exactly-once emission per key — is deterministic, so the oracle is
+    ``SELECT DISTINCT``. No final ``.distinct()`` guard is applied on
+    the sink: a double-emission bug would surface as a row-count
+    mismatch, which is precisely what the gate should catch. The
+    single-file replay drains as one micro-batch, so no key can recur
+    past watermark eviction (which would legitimately re-emit on a real
+    unbounded stream — unit-tested in tests/test_streaming.py).
+    """
+    sink = _drain_events_stream(
+        spark,
+        sf_dir,
+        "stream_dedup_keys_sink",
+        lambda pipe: pipe.dedup_within_watermark(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        output_mode="append",
+    )
+    return sink.select("user_id", "event_type")
+
+
+def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-A as ONE natively chained two-aggregation streaming query
+    (streaming/runner.py::trending_two_stage_append, append mode) run by
+    the real engine — and on the RocksDB state store provider, so the
+    100 TB state path gets runtime coverage in the gate, not just a
+    config option. The oracle is the batch Q-A SQL restricted to the
+    sampling windows the final watermark (max event time − 300 s)
+    finalizes: append mode only emits a window once the watermark passes
+    its end, so the tail windows of a bounded replay legitimately never
+    fire — the oracle encodes exactly that envelope instead of
+    pretending the stream saw infinity.
+    """
+    sink = _drain_events_stream(
+        spark,
+        sf_dir,
+        "stream_qa_trending_sink",
+        lambda pipe: pipe.trending_two_stage_append(
+            f"{P.TREND_SIZE_S} seconds",
+            f"{P.TREND_SLIDE_S} seconds",
+            P.SAMPLE_SIZE_S,
+            P.SAMPLE_SLIDE_S,
+        ),
+        output_mode="append",
+        state_store="rocksdb",
+    )
+    return sink.select("sample_w_start", "top_event_type", "top_cnt")

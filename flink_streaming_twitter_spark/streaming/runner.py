@@ -34,12 +34,33 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.topk import per_window_top1
 
-WATERMARK = "300 seconds"
+WATERMARK_S = 300
+WATERMARK = f"{WATERMARK_S} seconds"
 TRIGGER = "5 seconds"
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) so
+    ``withWatermark`` accepts it: parquet written with
+    isAdjustedToUTC=false loads as TIMESTAMP_NTZ, which the watermark
+    machinery rejects. The cast reinterprets the wall-clock value in the
+    session timezone, so it is value-preserving ONLY under UTC — asserted
+    here rather than assumed, because a caller-built non-UTC session
+    would otherwise get silently shifted event times (ADVICE r2)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"casting TIMESTAMP_NTZ column {ts_col!r} to TIMESTAMP requires a "
+                f"UTC session (spark.sql.session.timeZone={tz!r} would shift event "
+                "times); set the session timezone to UTC first"
+            )
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def start_query(
@@ -117,7 +138,8 @@ def stream_interval_join(
     horizon), not O(stream). ``left_ts``/``right_ts`` must be distinct
     names (rename before calling); key columns are taken from the left.
     """
-    l, r = left.withWatermark(left_ts, watermark), right.withWatermark(right_ts, watermark)
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     key_eq = [l[k] == r[k] for k in key_cols]
     rng = (F.col(right_ts) >= F.col(left_ts)) & (
         F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay_s} SECONDS")
@@ -140,12 +162,7 @@ class StreamingPipelines:
         key_col: str = "event_type",
         watermark: str = WATERMARK,
     ):
-        # withWatermark requires TIMESTAMP (LTZ); parquet written with
-        # isAdjustedToUTC=false loads as TIMESTAMP_NTZ. The session runs
-        # UTC, so the cast is value-preserving.
-        if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-            stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        self.stream = stream.withWatermark(ts_col, watermark)
+        self.stream = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         self.ts_col = ts_col
         self.key_col = key_col
 

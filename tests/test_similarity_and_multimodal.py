@@ -153,3 +153,50 @@ def test_frame_sample_keeps_every_nth(spark):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for mid, idxs in by_media.items():
         assert all(i % 4 == 0 for i in idxs)
+
+
+def test_decode_kernel_stub_real_switch():
+    """The decode kernel is import-gated on PIL: with no PIL (this
+    container) it takes the deterministic stub; with a (faked) PIL whose
+    open() succeeds it takes the real branch; with a PIL that can't
+    parse the bytes it falls back to the stub — both worlds honest."""
+    from flink_streaming_twitter_spark.operators import multimodal as M
+
+    payload = b"not really a jpeg payload"
+    stub = M._decode_payload_stub(payload)
+
+    # this container has no Pillow: module state must reflect that and
+    # the kernel must equal the stub
+    assert M._PIL_IMAGE is None and not M.REAL_DECODERS_AVAILABLE
+    assert M._decode_payload(payload) == stub
+
+    class FakeImg:
+        size = (640, 480)
+        n_frames = 3
+
+        def convert(self, mode):
+            return self
+
+        def histogram(self):
+            return [1] * 256  # uniform → each of 8 bins sums 32/256
+
+    class FakePIL:
+        @staticmethod
+        def open(fp):
+            return FakeImg()
+
+    class BrokenPIL:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    orig = M._PIL_IMAGE
+    try:
+        M._PIL_IMAGE = FakePIL
+        w, h, nf, feat = M._decode_payload(payload)
+        assert (w, h, nf) == (640, 480, 3)
+        assert feat == [32.0 / 256.0] * 8
+        M._PIL_IMAGE = BrokenPIL
+        assert M._decode_payload(payload) == stub  # graceful fallback
+    finally:
+        M._PIL_IMAGE = orig

@@ -623,3 +623,24 @@ def test_streaming_corpus_prep_composition(spark):
         assert got == {"hello world", "unique one", "fresh text"}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ensure_event_time_refuses_non_utc_session(spark):
+    """The NTZ→LTZ cast is value-preserving only under UTC; a caller-built
+    non-UTC session must fail loudly, not silently shift event times
+    (ADVICE r2)."""
+    from flink_streaming_twitter_spark.streaming.runner import ensure_event_time
+
+    ntz = spark.createDataFrame([("2024-01-01 00:00:00",)], ["s"]).select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            ensure_event_time(ntz, "ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # back under UTC the cast goes through and the type flips to LTZ
+    assert dict(ensure_event_time(ntz, "ts").dtypes)["ts"] == "timestamp"

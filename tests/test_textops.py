@@ -122,3 +122,38 @@ def test_normalize_text_nfc_unifies_combining_marks(spark):
     assert plain[1] != plain[2]  # default JVM-only path preserves the bytes
     nfc = {r.doc_id: r.norm_text for r in normalize_text(df, nfc=True).collect()}
     assert nfc[1] == nfc[2] == precomposed  # canonical under NFC
+
+
+def test_normalize_text_nfc_agrees_with_duckdb_oracle_on_combining_marks(spark):
+    """The driver's gate corpus is ASCII (NFC = identity there), so the
+    oracle agreement on REAL combining marks is pinned here: Spark's
+    unicodedata-based nfc path and DuckDB's nfc_normalize must produce
+    identical rows for the q_text_normalize_nfc column contract."""
+    import duckdb
+
+    from flink_streaming_twitter_spark.operators.textops import normalize_text
+    from flink_streaming_twitter_spark.plans.pipeline import TEXT_NORMALIZE_NFC_SQL
+
+    rows = [
+        (1, "Cafe\u0301  Menu"),  # decomposed e + combining acute, double space
+        (2, "caf\u00e9 menu"),    # precomposed
+        (3, "A\u030a ring"),      # A + combining ring above
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.norm_text, r.changed, r.chars_removed)
+        for r in normalize_text(df, nfc=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = con.execute(TEXT_NORMALIZE_NFC_SQL).fetchdf()
+    for _, o in oracle.iterrows():
+        assert got[o["doc_id"]] == (
+            o["norm_text"],
+            bool(o["changed"]),
+            int(o["chars_removed"]),
+        ), o["doc_id"]
+    # and the two Unicode forms really did converge
+    assert got[1][0] == got[2][0] == "caf\u00e9 menu"
