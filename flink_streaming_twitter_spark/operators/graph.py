@@ -140,13 +140,30 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    def fingerprint(edges: DataFrame) -> tuple[int, int]:
+        """(edge count, wrapped sum of per-edge hashes) in ONE aggregate
+        pass. Edge sets are distinct, so multiset sum-of-hash equality is
+        a sound NECESSARY condition for set equality — a cheap pre-filter
+        that lets the loop skip the exceptAll set-compare on every round
+        where the fingerprint already proves change; exceptAll stays the
+        authority and runs (once) only at the probable fixpoint."""
+        # hash summed in DECIMAL(38,0): LONG sums overflow-throw under
+        # ANSI mode (session default) once enough edges accumulate
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row.n), int(row.h)
+
     E = (
         raw.filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
         .distinct()
         .localCheckpoint()
     )
-    n_edges = E.count()
+    n_edges, e_hash = fingerprint(E)
     converged = n_edges == 0
     rnd = 0
     while not converged and rnd < max_iter:
@@ -182,9 +199,11 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        new_n = new_e.count()
-        converged = new_n == n_edges and new_e.exceptAll(E).isEmpty()
-        E, n_edges = new_e, new_n
+        new_n, new_hash = fingerprint(new_e)
+        converged = (
+            new_n == n_edges and new_hash == e_hash and new_e.exceptAll(E).isEmpty()
+        )
+        E, n_edges, e_hash = new_e, new_n, new_hash
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -99,15 +99,22 @@ def _decode_payload_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, feature
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int, list[float]]:
+def _decode_payload(
+    payload: bytes, force_stub: bool = False
+) -> tuple[int, int, int, list[float]]:
     """Decode kernel: real PIL decode when Pillow can parse the bytes,
     deterministic stub otherwise (import-gated — VERDICT r2 item 5).
 
     The real path emits (width, height, n_frames, 8-bin luminance
     histogram normalized to sum 1) — a minimal but honest feature; swap
     in a model embedding here for production. Returns
-    (width, height, n_frames, feature[8]) either way."""
-    if _PIL_IMAGE is not None:
+    (width, height, n_frames, feature[8]) either way.
+
+    ``force_stub=True`` pins the deterministic fake regardless of the
+    environment — used by the oracle-checked gate entry, whose DuckDB
+    twin re-derives the stub arithmetic and must match on any machine,
+    with or without Pillow installed."""
+    if _PIL_IMAGE is not None and not force_stub:
         import io
 
         try:
@@ -123,15 +130,16 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, list[float]]:
     return _decode_payload_stub(payload)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, force_stub: bool = False) -> DataFrame:
     """mapInPandas decode pass: MEDIA_SCHEMA rows → DECODED_SCHEMA rows.
 
     Arrow-batched; each batch is decoded columnarly in one Python call.
+    ``force_stub`` propagates to :func:`_decode_payload` (see there).
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+            decoded = [_decode_payload(bytes(p), force_stub) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

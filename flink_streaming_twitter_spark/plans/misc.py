@@ -40,12 +40,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full media pipeline through the Arrow-batched mapInPandas
-    decode kernel (operators/multimodal.py::decode_media — stub decoder,
-    real plumbing) plus frame sampling: per mime class, media count,
-    mean decoded dimensions, and frames kept at every_n=4. No SQL oracle
-    — the decode kernel is Python, so the driver records the rows-only
-    check (the deterministic-fake semantics are pinned by unit tests in
-    tests/test_similarity_and_multimodal.py instead)."""
+    decode kernel (operators/multimodal.py::decode_media) plus frame
+    sampling: per mime class, media count, mean decoded dimensions, and
+    frames kept at every_n=4.
+
+    The kernel is pinned to the deterministic stub (``force_stub=True``)
+    so the DuckDB oracle — which re-derives the stub arithmetic
+    (width/height from the first payload bytes, n_frames from the byte
+    length, ceil(n_frames/4) frames kept) — matches on any machine,
+    with or without Pillow. What the hash compare then certifies is the
+    PLUMBING a real media pipeline rides: Arrow batch row alignment
+    (media_id ↔ payload), the mapInPandas schema contract, the
+    frame-explode arithmetic, and the final aggregate. The real-decode
+    branch stays covered by the PIL stub/real switch unit test
+    (tests/test_similarity_and_multimodal.py). Oracle byte arithmetic
+    uses ascii() on 1-char substrings, exact for this ASCII corpus;
+    ascii('') = 0 mirrors the stub's zero padding."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -55,7 +65,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video/mp4")
         .alias("mime"),
     )
-    decoded = decode_media(media)
+    decoded = decode_media(media, force_stub=True)
     frames = (
         frame_sample(decoded, every_n=4)
         .groupBy("media_id")
@@ -139,6 +149,29 @@ FROM documents
 """
 
 
+# Stub-decode twin: width/height from payload bytes 1-2 (0 when absent,
+# like the stub's ljust(8, b"\0")), n_frames from byte length, frames
+# kept at every_n=4 = ceil(n_frames/4) since frame 0 is always kept.
+MULTIMODAL_DECODE_STATS_SQL = """
+WITH decoded AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS mime,
+    1 + ascii(substr(text, 1, 1)) % 64 AS width,
+    1 + ascii(substr(text, 2, 1)) % 64 AS height,
+    1 + octet_length(encode(text)) % 16 AS n_frames
+  FROM documents
+)
+SELECT mime,
+       count(*) AS n_media,
+       round(avg(width), 6) AS avg_width,
+       round(avg(height), 6) AS avg_height,
+       CAST(sum((n_frames + 3) // 4) AS BIGINT) AS frames_kept
+FROM decoded GROUP BY mime
+"""
+
+
 RANGE_JOIN_SQL = f"""
 WITH err AS (
   SELECT event_id AS err_id, ts AS s, ts + INTERVAL {RANGE_WINDOW_S} SECOND AS e
@@ -156,5 +189,6 @@ def misc_oracles() -> dict[str, str]:
     return {
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "multimodal_meta": MULTIMODAL_META_SQL,
+        "multimodal_decode_stats": MULTIMODAL_DECODE_STATS_SQL,
         "q_range_join_error_impact": RANGE_JOIN_SQL,
     }
