@@ -15,8 +15,9 @@ def test_every_query_has_oracle_or_is_documented(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 20
-    # every oracle key must reference an existing query
-    assert set(oracles).issubset(set(qs))
+    # total oracle coverage (round 3): EVERY queries() entry has a DuckDB
+    # twin — a new query without one should fail here, not ship rows-only
+    assert set(oracles) == set(qs)
     # every query is callable with (spark, sf_dir)
     for _name, fn in qs.items():
         assert callable(fn)
