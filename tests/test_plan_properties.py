@@ -80,3 +80,19 @@ def test_quota_cap_limits_before_exchange(plans):
     skew (SCALE.md corpus-management section)."""
     p = plans["q_cap_per_source"]
     assert "WindowGroupLimit" in p and "Partial" in p, p
+
+
+def test_salted_quota_cap_plans_two_phases(plans):
+    """cap_per_key_salted's scale contract (SCALE.md skew benchmark):
+    phase 1 ranks per (key, salt) and phase 2 re-ranks survivors per
+    key — the plan must show TWO window stages, each with its partial
+    WindowGroupLimit, and the phase-1 exchange must partition on the
+    salt as well as the key (that spread IS the skew fix)."""
+    import re
+
+    p = plans["q_cap_per_source_salted"]
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert "Partial" in p, p
+    # at least one hashpartitioning clause carries the internal salt
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("__salt" in frag and "source" in frag for frag in parts), parts
