@@ -52,6 +52,11 @@ def _stream_qb_drain(spark) -> float:
         counts = pipe.windowed_counts(
             f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
         )
+        # bounded-drain state sizing (see plans/reference_queries.py::
+        # _drain_events_stream): fixed per-partition state-commit cost
+        # dominates a 100 k-row replay; restored in the finally block
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         t0 = time.perf_counter()
         q = start_query(
             counts, name="bench_stream_qb", output_mode="update", available_now=True
@@ -63,6 +68,8 @@ def _stream_qb_drain(spark) -> float:
         spark.catalog.dropTempView("bench_stream_qb")
         return elapsed
     finally:
+        if "prev_parts" in locals():
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -142,6 +142,7 @@ def _drain_events_stream(
     build: "Callable[[object], DataFrame]",
     output_mode: str,
     state_store: str | None = None,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Replay the events table through the ACTUAL Structured Streaming
     engine and return the drained memory sink as a batch DataFrame.
@@ -151,6 +152,15 @@ def _drain_events_stream(
     drain with availableNow into a memory sink named ``view``. The sink
     view stays registered so the returned DataFrame can be evaluated
     lazily; it is dropped and rebuilt on the next invocation.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` for THIS
+    query only (captured at stream start, restored after the drain):
+    each stateful operator commits one state-store instance per shuffle
+    partition per micro-batch, so a bounded replay pays fixed cost per
+    partition — measured 2× wall on the sf0.1 drains going from 32
+    partitions to 8, and a vanilla 200-partition session is worse. On a
+    real cluster SIZE THIS UP: the same knob must exceed total cores and
+    keep per-partition state within executor memory (SCALE.md).
     """
     import os
     import shutil
@@ -165,7 +175,9 @@ def _drain_events_stream(
         spark.catalog.dropTempView(view)  # idempotent re-runs
     except Exception:
         pass
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         os.symlink(src, os.path.join(d, "events.parquet"))
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(d)
@@ -189,6 +201,7 @@ def _drain_events_stream(
             raise TimeoutError(f"{view}: drain did not finish within 600s")
         return spark.table(view)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(d, ignore_errors=True)
 
 
