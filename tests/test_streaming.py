@@ -644,3 +644,57 @@ def test_ensure_event_time_refuses_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
     # back under UTC the cast goes through and the type flips to LTZ
     assert dict(ensure_event_time(ntz, "ts").dtypes)["ts"] == "timestamp"
+
+
+def test_stream_dedup_reemits_after_watermark_eviction(spark):
+    """The state bound that makes streaming dedup feasible at 100 TB is
+    also a semantic contract: dropDuplicatesWithinWatermark keeps a key's
+    state only inside the watermark horizon, so a key recurring AFTER its
+    state was evicted is legitimately emitted AGAIN. Pin that: key "a"
+    appears in batch 1, the watermark then advances far past it, and a
+    third batch repeats "a" — the sink must contain "a" twice (and a
+    within-horizon duplicate exactly once)."""
+    d = tempfile.mkdtemp(prefix="ddevict_")
+    try:
+        b1 = [(BASE, "a"), (BASE + dt.timedelta(seconds=1), "a"), (BASE, "b")]
+        # advances the watermark to +700 (watermark delay 300 s)
+        b2 = [(BASE + dt.timedelta(seconds=1000), "flush")]
+        # eviction is applied at batch END with the batch's starting
+        # watermark, so one more batch must pass before "a"'s state
+        # (expiry t=1+300) is actually purged
+        b3 = [(BASE + dt.timedelta(seconds=1000, milliseconds=500), "flush2")]
+        # "a" recurs long after its state was evicted
+        b4 = [(BASE + dt.timedelta(seconds=1001), "a")]
+        import glob
+        import os
+        import time as _time
+
+        # the file source orders batches by modification time; all three
+        # writes land within the same instant, so stamp increasing mtimes
+        # or the recurrence file can be picked up BEFORE the flush file
+        stamped: set[str] = set()
+        t0 = _time.time()
+        for i, rows in enumerate((b1, b2, b3, b4)):
+            mode = "overwrite" if i == 0 else "append"
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(mode).parquet(d)
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                if f not in stamped:
+                    os.utime(f, (t0 + i * 10, t0 + i * 10))
+                    stamped.add(f)
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            pipe.dedup_within_watermark(["event_type"]),
+            name="ddevict_stream",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        kinds = sorted(
+            r.event_type for r in spark.sql("SELECT event_type FROM ddevict_stream").collect()
+        )
+        assert kinds == ["a", "a", "b", "flush", "flush2"], kinds
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
