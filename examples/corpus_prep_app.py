@@ -1,0 +1,137 @@
+"""End-to-end training-corpus preparation on the engine's LLM-pipeline
+operators — the batch entrypoint a data-curation team would run nightly
+over a raw document dump.
+
+Stages (all from flink_streaming_twitter_spark, every one of them an
+oracle-verified gate operator):
+
+1. normalize      — canonical text cleanup (optionally Unicode NFC via
+                    the Arrow-batched variant: --nfc);
+2. exact dedup    — keep-first per normalized-text digest;
+3. near dedup     — MinHash-LSH pairs → connected components → keep the
+                    min doc_id per cluster (--deep-graphs switches the
+                    closure to the large-star/small-star form for
+                    corpora with long transitive dup chains);
+4. admission      — weighted per-domain mixing + per-domain quota cap
+                    (salted two-phase form via --hot-domains when one
+                    source dominates);
+5. split          — deterministic md5-bucket train/val/test assignment;
+6. profile        — per-(split, source) doc/token/char counts, written
+                    as parquet next to the curated corpus.
+
+Usage (paths default to the synthetic test tables):
+
+    python examples/corpus_prep_app.py \
+        --in /root/testdata/sf0.01 --out /tmp/corpus_out \
+        [--nfc] [--deep-graphs] [--hot-domains]
+
+Every decision (dedup survivor, admission, split) is a pure function of
+document content/ids — rerunning on any cluster size reproduces the
+same corpus row-for-row, which is what makes train/test separation
+auditable (SCALE.md, corpus-management section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_streaming_twitter_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+from flink_streaming_twitter_spark.operators.dedup import minhash_lsh_dedup
+from flink_streaming_twitter_spark.operators.sampling import (
+    cap_per_key,
+    cap_per_key_salted,
+    hash_split,
+    weighted_mix,
+)
+from flink_streaming_twitter_spark.operators.textops import normalize_text
+from flink_streaming_twitter_spark.plans import params as P
+from flink_streaming_twitter_spark.session import build_session
+from flink_streaming_twitter_spark.sources.files import load_table
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="src", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", dest="out", default="/tmp/corpus_out")
+    ap.add_argument("--nfc", action="store_true", help="Unicode NFC first (Arrow UDF)")
+    ap.add_argument(
+        "--deep-graphs",
+        action="store_true",
+        help="large-star/small-star closure (O(log n) rounds) for long dup chains",
+    )
+    ap.add_argument(
+        "--hot-domains",
+        action="store_true",
+        help="salted two-phase quota cap for a skewed source distribution",
+    )
+    ap.add_argument("--cap-k", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = build_session("corpus-prep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = load_table(spark, args.src, "documents")
+
+    # 1. normalize (narrow, fused into the scan), then featurize BEFORE
+    # any shuffle and drop the body — wide stages move digests, not text
+    norm = normalize_text(docs, extra_cols=("source",), nfc=args.nfc)
+    feat = norm.select(
+        "doc_id",
+        "source",
+        F.md5("norm_text").alias("digest"),
+        F.size(F.regexp_extract_all("norm_text", F.lit(r"\w+"), 0)).alias("n_tokens"),
+        F.length("norm_text").alias("n_chars"),
+    )
+
+    # 2. exact dedup: keep-first per digest
+    exact_kept = cap_per_key(feat, ["digest"], [F.col("doc_id").asc()], 1)
+
+    # 3. near dedup on the exact survivors: LSH pairs → components →
+    # keep the cluster minimum
+    pairs = minhash_lsh_dedup(
+        docs.join(exact_kept.select("doc_id"), "doc_id"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components_star if args.deep_graphs else connected_components
+    comp = cc(pairs, nodes=exact_kept.select(F.col("doc_id").alias("id")))
+    near_kept = exact_kept.join(
+        comp.filter(F.col("id") == F.col("comp")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+
+    # 4. admission: weighted mixing, then the per-domain quota cap
+    admitted = weighted_mix(
+        near_kept, "source", "doc_id", {"src0": 1.0, "src1": 1.0}, 0.5
+    )
+    cap = cap_per_key_salted if args.hot_domains else cap_per_key
+    capped = cap(
+        admitted, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], args.cap_k
+    )
+
+    # 5. split + 6. profile
+    final = hash_split(capped, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    final.write.mode("overwrite").parquet(f"{args.out}/corpus")
+    profile = final.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    profile.write.mode("overwrite").parquet(f"{args.out}/profile")
+    profile.orderBy("split", "source").show(60, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
