@@ -1,7 +1,11 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the record as JSON lines — a
+compact headline line, the full per-query record, then the compact line
+again (so a capture that truncates either end of stdout still contains
+one complete parseable line; BENCH.json persists the full record):
 
+    {"metric": "total_query_seconds", "value": N, "unit": "sec", "sf": 0.1}
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
@@ -29,48 +33,26 @@ def _stream_qb_drain(spark) -> float:
     """Streaming throughput probe: drain the sf events table through the
     Q-B pipeline (windowed counts, update mode, availableNow) into a
     memory sink and return the wall seconds — the Structured Streaming
-    analog of the reference's own tweets/sec self-measurement (Q-D)."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
+    analog of the reference's own tweets/sec self-measurement (Q-D).
+    Delegates to the gate entries' shared drain harness so the probe and
+    the gate measure the identical replay mechanics (symlink replay, NTZ
+    cast, bounded-drain state sizing, conf restore)."""
     from flink_streaming_twitter_spark.plans import params as P
-    from flink_streaming_twitter_spark.streaming.runner import StreamingPipelines, start_query
+    from flink_streaming_twitter_spark.plans.reference_queries import _drain_events_stream
 
-    src = os.path.join(SF_DIR, "events.parquet")
-    d = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        os.symlink(src, os.path.join(d, "events.parquet"))
-        schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(d)
-        if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        pipe = StreamingPipelines(stream, "ts", "event_type")
-        counts = pipe.windowed_counts(
+    t0 = time.perf_counter()
+    _drain_events_stream(
+        spark,
+        SF_DIR,
+        "bench_stream_qb",
+        lambda pipe: pipe.windowed_counts(
             f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
-        )
-        # bounded-drain state sizing (see plans/reference_queries.py::
-        # _drain_events_stream): fixed per-partition state-commit cost
-        # dominates a 100 k-row replay; restored in the finally block
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        t0 = time.perf_counter()
-        q = start_query(
-            counts, name="bench_stream_qb", output_mode="update", available_now=True
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("bench stream drain did not finish within 600s")
-        elapsed = time.perf_counter() - t0
-        spark.catalog.dropTempView("bench_stream_qb")
-        return elapsed
-    finally:
-        if "prev_parts" in locals():
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        shutil.rmtree(d, ignore_errors=True)
+        ),
+        output_mode="update",
+    )
+    elapsed = time.perf_counter() - t0
+    spark.catalog.dropTempView("bench_stream_qb")
+    return elapsed
 
 
 def main() -> None:

@@ -15,6 +15,7 @@ value-hash comparison passes):
 from __future__ import annotations
 
 from . import params as P
+from ..streaming.runner import WATERMARK_S
 
 
 # Sliding-window enumeration: requires size % slide == 0 (all params
@@ -145,12 +146,13 @@ SELECT DISTINCT user_id, event_type FROM events
 
 # Append-mode emission envelope: a (sampling) window fires only once the
 # watermark passes its end; a bounded replay's final watermark is
-# max(event time observed, ms precision) − the 300 s delay
-# (streaming/runner.py WATERMARK_S), so the oracle keeps exactly the
-# windows the drained stream finalizes. Window ends are whole seconds
-# and the generated event times are not, so <= vs < cannot be hit on a
-# boundary tie.
-_STREAM_WM_MS = "(SELECT epoch_ms(max(ts)) - 300000 FROM events)"
+# max(event time observed, ms precision) − the WATERMARK_S delay, so the
+# oracle keeps exactly the windows the drained stream finalizes. The
+# delay is imported from the streaming runner so retuning it can never
+# drift the oracle (the same single-source rule params.py states).
+# Window ends are whole seconds and the generated event times are not,
+# so <= vs < cannot be hit on a boundary tie.
+_STREAM_WM_MS = f"(SELECT epoch_ms(max(ts)) - {WATERMARK_S * 1000} FROM events)"
 
 STREAM_QA_TRENDING = f"""
 WITH slid AS (

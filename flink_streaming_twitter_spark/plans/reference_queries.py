@@ -176,6 +176,20 @@ def _drain_events_stream(
     except Exception:
         pass
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # start_query(state_store=...) mutates session-level state-store confs
+    # that each query captures AT START; snapshot and restore them so one
+    # RocksDB gate entry can't silently switch every later streaming
+    # query in a shared session off the default provider
+    _STATE_CONFS = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    prev_state: dict[str, str | None] = {}
+    for c in _STATE_CONFS:
+        try:
+            prev_state[c] = spark.conf.get(c)
+        except Exception:
+            prev_state[c] = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         os.symlink(src, os.path.join(d, "events.parquet"))
@@ -202,6 +216,14 @@ def _drain_events_stream(
         return spark.table(view)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for c, v in prev_state.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
         shutil.rmtree(d, ignore_errors=True)
 
 

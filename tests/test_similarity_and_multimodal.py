@@ -165,9 +165,10 @@ def test_decode_kernel_stub_real_switch():
     payload = b"not really a jpeg payload"
     stub = M._decode_payload_stub(payload)
 
-    # this container has no Pillow: module state must reflect that and
-    # the kernel must equal the stub
-    assert M._PIL_IMAGE is None and not M.REAL_DECODERS_AVAILABLE
+    # where Pillow is absent the kernel must equal the stub; where it IS
+    # installed, un-parseable bytes must still fall back to the stub —
+    # don't assert the container's environment, assert the behavior
+    assert M.REAL_DECODERS_AVAILABLE == (M._PIL_IMAGE is not None)
     assert M._decode_payload(payload) == stub
 
     class FakeImg:

@@ -2,10 +2,11 @@
 numbers instead of prose.
 
 Fixtures (written to /tmp/skewfix as parquet):
-- ``big_skew``: 10 M rows, one hot key holding ~30% of them, the rest
-  uniform over 999 cold keys — the "one domain is 30% of the corpus"
-  shape from operators/sampling.py's docstring;
-- ``big_uniform``: 10 M rows spread evenly over 1000 keys;
+- ``big_skew``: 40 M rows (SKEW_BENCH_N) x (id, val, 64-char payload),
+  one hot key holding ~30% of them, the rest uniform over 999 cold
+  keys — the "one domain is 30% of the corpus" shape from
+  operators/sampling.py's docstring;
+- ``big_uniform``: the same rows spread evenly over 1000 keys;
 - ``dim``: 1000 key rows (made non-broadcastable in the join runs by
   setting autoBroadcastJoinThreshold=-1, so the shuffle path — the one
   skew actually hurts — is what's measured).
