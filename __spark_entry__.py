@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_qb_counts": reference_queries.stream_qb_counts,
         "stream_dedup_keys": reference_queries.stream_dedup_keys,
         "stream_qa_trending": reference_queries.stream_qa_trending,
+        "stream_interval_pairs": reference_queries.stream_interval_pairs,
     }
     q.update(extensions.extension_queries())
     return q

@@ -61,10 +61,13 @@ def extension_queries() -> dict[str, QueryFn]:
         "tpch_q20_excess_inventory",
         "tpch_q21_waiting_suppliers",
     ]
+    # (events_sessionize yields its slot to the new stream_interval_pairs
+    # entry in __spark_entry__ — its own code is unchanged and r2-green;
+    # it rotates back with the rest of the tail next round)
     q: dict[str, QueryFn] = {}
     q.update(DEDUP_QUERIES)
     q.update(PIPELINE_QUERIES)
-    for name in ("events_sessionize", "multimodal_meta", "multimodal_decode_stats"):
+    for name in ("multimodal_meta", "multimodal_decode_stats"):
         q[name] = MISC_QUERIES[name]
     pool: dict[str, QueryFn] = {}
     pool.update(ANALYTICS_QUERIES)

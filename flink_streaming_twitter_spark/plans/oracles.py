@@ -182,6 +182,18 @@ WHERE rn = 1 AND sample_w_start * 1000 <= {_STREAM_WM_MS}
 """
 
 
+def _stream_interval_pairs_sql() -> str:
+    from .reference_queries import STREAM_JOIN_DELAY_S
+
+    return f"""
+SELECT e.event_id AS err_id, p.event_id AS p_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL {STREAM_JOIN_DELAY_S} SECOND
+"""
+
+
 def reference_oracles() -> dict[str, str]:
     return {
         "qa_trending_two_stage": QA_TRENDING_TWO_STAGE,
@@ -194,4 +206,5 @@ def reference_oracles() -> dict[str, str]:
         "stream_qb_counts": STREAM_QB_COUNTS,
         "stream_dedup_keys": STREAM_DEDUP_KEYS,
         "stream_qa_trending": STREAM_QA_TRENDING,
+        "stream_interval_pairs": _stream_interval_pairs_sql(),
     }

@@ -285,6 +285,51 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select("user_id", "event_type")
 
 
+STREAM_JOIN_DELAY_S = 3600
+
+
+def stream_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's stream-stream join surface run by the real engine:
+    per user, purchases within STREAM_JOIN_DELAY_S after an error —
+    ``stream_interval_join`` (streaming/runner.py) over two watermarked
+    legs filtered from the same replayed source, append mode. Emits the
+    raw (err_id, p_id) pair set.
+
+    A single-file replay drains as one micro-batch, so both sides'
+    matching rows are in state together and the inner join emits exactly
+    the full pair set — which makes the oracle a plain SQL range join.
+    On an unbounded stream the same query bounds state in BOTH
+    directions via the watermarks + range condition (see
+    stream_interval_join's docstring); the cross-batch late-arrival
+    semantics are unit-tested in tests/test_streaming.py.
+    """
+    def build(pipe) -> DataFrame:
+        from ..streaming.runner import stream_interval_join
+
+        # legs come from the PRE-watermark stream: stream_interval_join
+        # assigns each leg its own watermark, and Spark disallows
+        # redefining one on an already-watermarked lineage
+        s = pipe.raw
+        errs = s.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        purch = s.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        return stream_interval_join(
+            errs, purch, ["user_id"], "err_ts", "p_ts", STREAM_JOIN_DELAY_S
+        ).select("err_id", "p_id")
+
+    sink = _drain_events_stream(
+        spark, sf_dir, "stream_interval_pairs_sink", build, output_mode="append"
+    )
+    return sink.select("err_id", "p_id")
+
+
 def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-A as ONE natively chained two-aggregation streaming query
     (streaming/runner.py::trending_two_stage_append, append mode) run by

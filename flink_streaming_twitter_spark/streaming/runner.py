@@ -162,7 +162,12 @@ class StreamingPipelines:
         key_col: str = "event_type",
         watermark: str = WATERMARK,
     ):
-        self.stream = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+        # raw: event-time-normalized but NOT yet watermarked — the input
+        # for operators that define their own watermarks (e.g. the two
+        # legs of stream_interval_join; Spark disallows redefining a
+        # watermark on an already-watermarked lineage)
+        self.raw = ensure_event_time(stream, ts_col)
+        self.stream = self.raw.withWatermark(ts_col, watermark)
         self.ts_col = ts_col
         self.key_col = key_col
 
