@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": reference_queries.stream_dedup_keys,
         "stream_qa_trending": reference_queries.stream_qa_trending,
         "stream_interval_pairs": reference_queries.stream_interval_pairs,
+        "stream_session_counts": reference_queries.stream_session_counts,
     }
     q.update(extensions.extension_queries())
     return q

@@ -182,6 +182,44 @@ WHERE rn = 1 AND sample_w_start * 1000 <= {_STREAM_WM_MS}
 """
 
 
+def _stream_session_counts_sql() -> str:
+    from .reference_queries import STREAM_SESSION_GAP_S as G
+
+    # Same gaps-and-islands rewrite as the batch events_sessionize
+    # oracle, with the append-mode emission envelope: a session fires
+    # once the watermark passes its end (exact last event time + gap —
+    # NOT the floor()ed output column), so only sessions whose end the
+    # final watermark covers appear in the drained sink. Event times
+    # carry sub-second precision and the gap/delay are whole seconds, so
+    # the <= boundary cannot be hit on a tie.
+    return f"""
+WITH o AS (
+  SELECT user_id, epoch(ts) AS e,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+              OR epoch(ts) - lag(epoch(ts)) OVER w >= {G}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, e,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, min(e) AS s_min, max(e) AS s_max, count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(floor(s_min) AS BIGINT) AS session_start,
+       CAST(floor(s_max) AS BIGINT) AS session_last,
+       n_events
+FROM sess
+WHERE (s_max + {G}) * 1000 <= {_STREAM_WM_MS}
+"""
+
+
 def _stream_interval_pairs_sql() -> str:
     from .reference_queries import STREAM_JOIN_DELAY_S
 
@@ -207,4 +245,5 @@ def reference_oracles() -> dict[str, str]:
         "stream_dedup_keys": STREAM_DEDUP_KEYS,
         "stream_qa_trending": STREAM_QA_TRENDING,
         "stream_interval_pairs": _stream_interval_pairs_sql(),
+        "stream_session_counts": _stream_session_counts_sql(),
     }

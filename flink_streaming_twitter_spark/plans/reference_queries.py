@@ -143,15 +143,40 @@ def _drain_events_stream(
     output_mode: str,
     state_store: str | None = None,
     state_partitions: int = 8,
+    n_files: int = 3,
+    progress: list | None = None,
+    timing: dict | None = None,
 ) -> DataFrame:
     """Replay the events table through the ACTUAL Structured Streaming
     engine and return the drained memory sink as a batch DataFrame.
 
-    Shared harness for every ``stream_*`` gate entry: symlink the parquet
-    into a temp dir, readStream it, apply ``build(StreamingPipelines)``,
-    drain with availableNow into a memory sink named ``view``. The sink
-    view stays registered so the returned DataFrame can be evaluated
-    lazily; it is dropped and rebuilt on the next invocation.
+    Shared harness for every ``stream_*`` gate entry: split the parquet
+    into ``n_files`` time-ordered files in a temp dir, readStream them
+    ONE PER MICRO-BATCH (``maxFilesPerTrigger=1``), apply
+    ``build(StreamingPipelines)``, drain with availableNow into a memory
+    sink named ``view``. The sink view stays registered so the returned
+    DataFrame can be evaluated lazily; it is dropped and rebuilt on the
+    next invocation.
+
+    Multi-batch replay (VERDICT r3 item 1): the rows are SORTED by event
+    time and sliced into ``n_files`` contiguous ranges, so every
+    micro-batch's earliest event sits at or after the previous batch's
+    latest — the watermark (max seen − delay) can never drop a later
+    batch's rows as late, and the drain exercises REAL cross-batch
+    state: watermark advancement between micro-batches, mid-stream
+    eviction/finalization, and append-mode emission as the watermark
+    passes window ends — not the single-batch degenerate case where all
+    state lives and dies in one commit. The file source admits files in
+    modification-time order (``latestFirst`` default false), so each
+    split file gets a strictly increasing mtime stamp. ``n_files=1``
+    falls back to a zero-copy symlink single-batch drain.
+
+    ``progress`` (optional) receives the query's recentProgress entries
+    after the drain — tests assert ≥2 non-empty micro-batches and zero
+    watermark-dropped rows from it. ``timing`` (optional) is filled with
+    ``query_start``/``query_end`` perf_counter stamps bracketing ONLY
+    the stream execution (start→termination), so the bench probe's
+    seconds exclude the replay-prep and conf bookkeeping (ADVICE r3).
 
     ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` for THIS
     query only (captured at stream start, restored after the drain):
@@ -165,6 +190,7 @@ def _drain_events_stream(
     import os
     import shutil
     import tempfile
+    import time
 
     from ..streaming.runner import StreamingPipelines, start_query
 
@@ -192,27 +218,51 @@ def _drain_events_stream(
             prev_state[c] = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        os.symlink(src, os.path.join(d, "events.parquet"))
         schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(d)
+        if n_files > 1:
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(src).sort_by([("ts", "ascending")])
+            n = table.num_rows
+            n_files = max(1, min(n_files, n))
+            for i in range(n_files):
+                lo, hi = i * n // n_files, (i + 1) * n // n_files
+                path = os.path.join(d, f"events_{i:03d}.parquet")
+                pq.write_table(table.slice(lo, hi - lo), path)
+                # strictly increasing mtimes pin the file source's batch
+                # order (same trick the eviction unit test relies on)
+                os.utime(path, (1_000_000_000 + i * 3600,) * 2)
+        else:
+            os.symlink(src, os.path.join(d, "events.parquet"))
+        reader = spark.readStream.schema(schema)
+        if n_files > 1:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        stream = reader.parquet(d)
         if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
             stream = stream.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
         pipe = StreamingPipelines(stream, "ts", "event_type")
+        plan = build(pipe)
+        if timing is not None:
+            timing["query_start"] = time.perf_counter()
         q = start_query(
-            build(pipe),
+            plan,
             name=view,
             output_mode=output_mode,
             available_now=True,
             state_store=state_store,
         )
-        # on timeout the query would keep reading the symlink the finally
-        # block deletes and the memory sink would be half-populated —
-        # stop it and fail loudly instead
+        # on timeout the query would keep reading the split files the
+        # finally block deletes and the memory sink would be
+        # half-populated — stop it and fail loudly instead
         if not q.awaitTermination(600):
             q.stop()
             raise TimeoutError(f"{view}: drain did not finish within 600s")
+        if timing is not None:
+            timing["query_end"] = time.perf_counter()
+        if progress is not None:
+            progress.extend(q.recentProgress)
         return spark.table(view)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -238,9 +288,13 @@ def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness property, PAPERS.md SIGMOD 2018) — not just our pytest
     suite's word for it.
 
-    max(cnt) per key collapses multi-batch update-mode re-emissions
-    (counts are monotone per key); with the single-file test tables one
-    micro-batch emits exactly the final counts and the max is a no-op.
+    The replay drains in ≥3 time-ordered micro-batches (see
+    _drain_events_stream), so the sink holds one row per (window, key)
+    PER BATCH the count changed in; max(cnt) per key collapses the
+    update-mode re-emissions to the final value (counts are monotone
+    per key). Nothing is watermark-dropped — the time-sliced files
+    guarantee every batch's rows sit above the watermark the previous
+    batches set.
     """
     sink = _drain_events_stream(
         spark,
@@ -256,30 +310,44 @@ def stream_qb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_REPLAY_WATERMARK = "45 days"
+"""Dedup-horizon override for the gate replay: the events tables span
+~30 days, so a horizon-spanning delay makes the emitted set exactly the
+distinct key set — every recurrence of a key lands while its state is
+live and is dropped by a REAL cross-batch state lookup (the replay
+drains in ≥3 micro-batches). The dedup delay is a business knob (how
+far apart can two records be and still count as duplicates?), not the
+disorder bound; a production horizon shorter than the key-recurrence
+gap legitimately re-emits after eviction — that semantics is pinned by
+tests/test_streaming.py::test_stream_dedup_reemits_after_watermark_eviction,
+where the batch split is hand-built so the eviction point is known."""
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup through the real engine:
     ``dropDuplicatesWithinWatermark`` (streaming/runner.py:
     dedup_within_watermark — the watermark-state-bounded streaming twin
     of operators/dedup.exact_dedup) over the replayed events, keyed on
-    (user_id, event_type), append mode.
+    (user_id, event_type), append mode, with the dedup horizon sized to
+    the replay span (DEDUP_REPLAY_WATERMARK above).
 
     Only the dedup key columns are emitted: which physical row survives
     per key is an engine-internal ordering choice, but the KEY SET — and
     exactly-once emission per key — is deterministic, so the oracle is
     ``SELECT DISTINCT``. No final ``.distinct()`` guard is applied on
-    the sink: a double-emission bug would surface as a row-count
-    mismatch, which is precisely what the gate should catch. The
-    single-file replay drains as one micro-batch, so no key can recur
-    past watermark eviction (which would legitimately re-emit on a real
-    unbounded stream — unit-tested in tests/test_streaming.py).
+    the sink: a double-emission bug — including a key slipping past the
+    state lookup across a micro-batch boundary — would surface as a
+    row-count mismatch, which is precisely what the gate should catch.
+    Keys recur in every batch of the multi-batch replay, so the hash
+    match certifies cross-batch dedup state for real.
     """
     sink = _drain_events_stream(
         spark,
         sf_dir,
         "stream_dedup_keys_sink",
-        lambda pipe: pipe.dedup_within_watermark(["user_id", "event_type"]).select(
-            "user_id", "event_type"
-        ),
+        lambda pipe: pipe.dedup_within_watermark(
+            ["user_id", "event_type"], watermark=DEDUP_REPLAY_WATERMARK
+        ).select("user_id", "event_type"),
         output_mode="append",
     )
     return sink.select("user_id", "event_type")
@@ -295,13 +363,16 @@ def stream_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs filtered from the same replayed source, append mode. Emits the
     raw (err_id, p_id) pair set.
 
-    A single-file replay drains as one micro-batch, so both sides'
-    matching rows are in state together and the inner join emits exactly
-    the full pair set — which makes the oracle a plain SQL range join.
-    On an unbounded stream the same query bounds state in BOTH
-    directions via the watermarks + range condition (see
-    stream_interval_join's docstring); the cross-batch late-arrival
-    semantics are unit-tested in tests/test_streaming.py.
+    The multi-batch replay makes the oracle — a plain SQL range join —
+    a real cross-batch assertion: error rows from one micro-batch must
+    still be in join state when their matching purchases arrive batches
+    later. That no matched pair can be evicted early falls out of the
+    time-ordered split plus the join's own state bound: an error is
+    droppable only once the watermark passes err_ts + delay, and any
+    purchase a later batch could contribute with p_ts ≤ err_ts + delay
+    would then already be behind the watermark — contradiction. State
+    stays bounded in BOTH directions via the watermarks + range
+    condition (see stream_interval_join's docstring).
     """
     def build(pipe) -> DataFrame:
         from ..streaming.runner import stream_interval_join
@@ -340,7 +411,11 @@ def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalizes: append mode only emits a window once the watermark passes
     its end, so the tail windows of a bounded replay legitimately never
     fire — the oracle encodes exactly that envelope instead of
-    pretending the stream saw infinity.
+    pretending the stream saw infinity. Under the multi-batch replay
+    most sampling windows finalize MID-STREAM (the watermark advances
+    between micro-batches), so the hash also certifies incremental
+    append emission + chained-aggregation state handoff across batches,
+    on RocksDB.
     """
     sink = _drain_events_stream(
         spark,
@@ -356,3 +431,42 @@ def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_store="rocksdb",
     )
     return sink.select("sample_w_start", "top_event_type", "top_cnt")
+
+
+STREAM_SESSION_GAP_S = 50000
+"""Session gap for the streaming session gate entry. Deliberately near
+the events tables' mean per-user inter-event gap (~39 000 s at every
+SF), so sessions routinely MERGE across events — and, under the
+multi-batch replay, across micro-batch boundaries — instead of
+degenerating into one-event sessions (the batch twin's 1 800 s gap) or
+one giant session per user."""
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows through the real engine
+    (streaming/runner.py::session_counts — the streaming twin of the
+    batch events_sessionize entry): per-(user, session) event counts,
+    append mode. The last implemented-but-not-gate-verified streaming
+    operator (VERDICT r3 item 5).
+
+    Append mode emits a session once the watermark passes its END (last
+    event + gap), so the oracle is the batch gaps-and-islands rewrite
+    restricted to sessions the final watermark (max event time − 300 s)
+    finalizes — the same bounded-replay envelope stream_qa_trending
+    encodes. A session that a later micro-batch would have extended is
+    never emitted early: an event within the gap of a live session
+    cannot sit behind the watermark that would finalize it (the
+    time-ordered split guarantees arriving events are never late), so
+    mid-stream finalization and the batch session assignment agree
+    exactly — that agreement is what the multi-batch hash certifies.
+    """
+    sink = _drain_events_stream(
+        spark,
+        sf_dir,
+        "stream_session_counts_sink",
+        lambda pipe: pipe.session_counts(
+            f"{STREAM_SESSION_GAP_S} seconds", key_col="user_id"
+        ),
+        output_mode="append",
+    )
+    return sink.select("user_id", "session_start", "session_last", "n_events")

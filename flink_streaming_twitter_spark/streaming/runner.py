@@ -216,10 +216,26 @@ class StreamingPipelines:
             .select(F.col("window.start").cast("long").alias("w_start"), F.col("cnt"))
         )
 
-    def dedup_within_watermark(self, id_cols: list[str]) -> DataFrame:
+    def dedup_within_watermark(
+        self, id_cols: list[str], watermark: str | None = None
+    ) -> DataFrame:
         """Streaming exact dedup with state bounded by the watermark —
-        the streaming twin of operators/dedup.exact_dedup."""
-        return self.stream.dropDuplicatesWithinWatermark(id_cols)
+        the streaming twin of operators/dedup.exact_dedup.
+
+        ``watermark`` overrides the pipeline's delay for this operator
+        only (re-assigned on the pre-watermark stream — Spark disallows
+        redefining one on an already-watermarked lineage): the delay IS
+        the dedup horizon, a business knob independent of the disorder
+        bound the windowed aggregations use. A key recurring after its
+        state was evicted legitimately re-emits
+        (tests/test_streaming.py::test_stream_dedup_reemits_after_watermark_eviction).
+        """
+        src = (
+            self.stream
+            if watermark is None
+            else self.raw.withWatermark(self.ts_col, watermark)
+        )
+        return src.dropDuplicatesWithinWatermark(id_cols)
 
     def trending_two_stage_append(
         self,
@@ -296,19 +312,22 @@ class StreamingPipelines:
             F.max(self.ts_col).alias("max_ts"),
         )
 
-    def session_counts(self, gap: str = "30 seconds") -> DataFrame:
+    def session_counts(self, gap: str = "30 seconds", key_col: str | None = None) -> DataFrame:
         """Native session windows over the stream (the streaming twin of
         operators/sessions.sessionize): per-(key, session) event counts.
-        Sessions finalize (append mode) once the watermark passes
-        session end + gap; state evicts with them."""
+        Sessions finalize (append mode) once the watermark passes the
+        session end (last event + gap); state evicts with them.
+        ``key_col`` overrides the pipeline key (e.g. user sessions over a
+        stream whose default key is the event type)."""
+        key_col = key_col or self.key_col
         return (
             self.stream.groupBy(
-                F.session_window(F.col(self.ts_col), gap).alias("sw"), F.col(self.key_col)
+                F.session_window(F.col(self.ts_col), gap).alias("sw"), F.col(key_col)
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.min(F.col(self.ts_col).cast("long")).alias("session_start"),
                 F.max(F.col(self.ts_col).cast("long")).alias("session_last"),
             )
-            .select(self.key_col, "session_start", "session_last", "n_events")
+            .select(key_col, "session_start", "session_last", "n_events")
         )

