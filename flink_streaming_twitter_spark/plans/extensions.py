@@ -11,6 +11,54 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The 38 extension entries slotted into the round-4 verified window (the
+# driver checks the first 50 queries(); __spark_entry__ contributes 12).
+# See the rotation rationale in extension_queries(); the contract test
+# asserts these all land inside the first 50 keys.
+ROUND4_WINDOW: tuple[str, ...] = (
+    # 1. changed this round (plans/misc.py)
+    "multimodal_decode_stats",
+    "multimodal_meta",
+    "events_sessionize",
+    "q_range_join_error_impact",
+    # 2. the rest of the r3 tail (newest green: round 2)
+    "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "doc_fingerprint",
+    "q_asof_last_error",
+    "q_approx_distinct_users",
+    "q_value_stats",
+    "q_rollup_counts",
+    "q_user_top_orders",
+    "q_user_segments",
+    "q_pivot_daily",
+    "q_distinct_users",
+    "q_embedding_norms",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "q_grouping_sets_sales",
+    "q_order_rank_distribution",
+    "tpch_q1_pricing_summary",
+    "q_price_percentiles",
+    "q_approx_percentiles",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q12_late_shipments",
+    # 3. stalest r3-green: the dedup family + composed pipeline
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_exact",
+    "dedup_simhash",
+    "q_corpus_pipeline",
+)
+
 
 def extension_queries() -> dict[str, QueryFn]:
     from .analytics import ANALYTICS_QUERIES
@@ -23,63 +71,45 @@ def extension_queries() -> dict[str, QueryFn]:
     from .tpch_extra import TPCH_EXTRA_QUERIES
 
     # Registration order IS verification priority: the driver's gate
-    # checks the first 50 queries() entries (10 in __spark_entry__ — the
-    # 8 reference shapes + 2 new streaming entries — then the first 40
-    # here). Round-3 rotation discipline (VERDICT r2 items 1, 4, 7):
-    #   1. families whose files changed this round come first — all of
-    #      plans/dedup.py (incl. NEW dedup_clusters_star) and
-    #      plans/pipeline.py (incl. NEW q_cap_per_source_salted and
-    #      q_text_normalize_nfc), plus operators/multimodal.py's entries
-    #      (decode kernel gained the optional real-PIL path) and
-    #      events_sessionize to round out the misc family;
-    #   2. then the 22 TPC-H/relational entries whose newest green row is
-    #      from round 1 (byte-identical since, but rotated back so no
-    #      entry's verification goes >2 rounds stale);
-    #   3. everything else — r2 hash-green over untouched files — takes
-    #      the tail and rotates back next round.
-    r1_stale = [
-        "tpch_q6_forecast_revenue",
-        "tpch_q10_returned_items",
-        "tpch_q13_customer_distribution",
-        "tpch_q15_top_supplier",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders",
-        "tpch_q22_global_sales_opportunity",
-        "top_customers",
-        "q_inactive_customers",
-        "q_cube_order_stats",
-        "q_order_deltas",
-        "q_trailing_30d_spend",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q11_important_stock",
-        "tpch_q14_promo_revenue",
-        "tpch_q16_supplier_count",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_inventory",
-        "tpch_q21_waiting_suppliers",
-    ]
-    # (events_sessionize yields its slot to the new stream_interval_pairs
-    # entry in __spark_entry__ — its own code is unchanged and r2-green;
-    # it rotates back with the rest of the tail next round)
+    # checks the first 50 queries() entries (12 in __spark_entry__ — the
+    # 7 reference shapes + 5 streaming drains — then the first 38 here).
+    # Round-4 rotation discipline (VERDICT r3 item 2, standing rule:
+    # changed files first, then stalest green):
+    #   1. the misc family (plans/misc.py changed this round —
+    #      multimodal_decode_stats gained the persist() single-decode
+    #      fix);
+    #   2. the 26 remaining entries whose newest green row is round 2
+    #      (textops / relational / similarity-ANN / the analytics
+    #      q1,q3,q4,q5 + percentile families / tpch_q12) — with the two
+    #      misc tail members above, that's the whole 28-entry r3 tail
+    #      rotated back in, so no entry's newest green exceeds two
+    #      rounds old;
+    #   3. the remaining slots go to the stalest r3-green entries: the
+    #      full dedup family + the composed corpus pipeline (also the
+    #      heaviest operators — the ones a silent regression would hurt
+    #      most).
+    # Everything else is r3-green over files untouched this round; it
+    # takes the tail and rotates back next round.
+    # (ROUND4_WINDOW is module-level so the contract test can pin that
+    # every intended name really falls inside the verified window.)
     q: dict[str, QueryFn] = {}
-    q.update(DEDUP_QUERIES)
-    q.update(PIPELINE_QUERIES)
-    for name in ("multimodal_meta", "multimodal_decode_stats"):
-        q[name] = MISC_QUERIES[name]
     pool: dict[str, QueryFn] = {}
-    pool.update(ANALYTICS_QUERIES)
-    pool.update(TPCH_EXTRA_QUERIES)
-    for name in r1_stale:
+    for fam in (
+        MISC_QUERIES,
+        TEXTOPS_QUERIES,
+        RELATIONAL_QUERIES,
+        SIMILARITY_QUERIES,
+        ANALYTICS_QUERIES,
+        TPCH_EXTRA_QUERIES,
+        DEDUP_QUERIES,
+        PIPELINE_QUERIES,
+    ):
+        pool.update(fam)
+    for name in ROUND4_WINDOW:
         q[name] = pool[name]
-    # tail: everything else, r2-green and untouched this round (dict
+    # tail: everything else, r3-green and untouched this round (dict
     # update keeps first-insertion position, so re-adds are no-ops)
-    q.update(TEXTOPS_QUERIES)
-    q.update(MISC_QUERIES)
-    q.update(RELATIONAL_QUERIES)
-    q.update(SIMILARITY_QUERIES)
+    q.update(PIPELINE_QUERIES)
     q.update(ANALYTICS_QUERIES)
     q.update(TPCH_EXTRA_QUERIES)
     return q

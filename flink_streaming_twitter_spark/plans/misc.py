@@ -65,7 +65,13 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video/mp4")
         .alias("mime"),
     )
-    decoded = decode_media(media, force_stub=True)
+    # decoded feeds TWO consumers (the frame-sample aggregate and the
+    # final join); without persist() the mapInPandas decode kernel runs
+    # once per consumer — harmless on the stub, but at 100 TB of media
+    # the decode IS the dominant cost and doubling it is real money
+    # (VERDICT r3). MEMORY_AND_DISK default: decoded rows are thin
+    # (no payload column), so the cache is cheap relative to re-decoding.
+    decoded = decode_media(media, force_stub=True).persist()
     frames = (
         frame_sample(decoded, every_n=4)
         .groupBy("media_id")

@@ -29,3 +29,33 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
     for name in ["qb_trending_single", "tpch_q1_pricing_summary", "dedup_exact", "text_quality"]:
         df = qs[name](spark, sf_dir)
         assert df.count() >= 0  # materializes without error
+
+
+def test_round4_rotation_names_fall_inside_gate_window():
+    """The driver verifies only the FIRST 50 queries() entries, and the
+    window accounting used to be hand-counted comments (ADVICE r3): pin
+    that every name the round-4 rotation plan promises to verify —
+    the 12 entry-module queries (incl. the 5 streaming drains) plus
+    extensions.ROUND4_WINDOW — actually lands inside the window. Adding
+    a query to any family dict can no longer silently push a promised
+    entry out of the verified window."""
+    from flink_streaming_twitter_spark.plans.extensions import ROUND4_WINDOW
+
+    window = list(entry_mod.queries().keys())[:50]
+    entry_module_head = [
+        "qa_trending_two_stage",
+        "qb_trending_single",
+        "qc_running_total",
+        "qd_counts_per_window",
+        "q_json_extract",
+        "q_value_by_window",
+        "q_tokenize_topk",
+        "stream_qb_counts",
+        "stream_dedup_keys",
+        "stream_qa_trending",
+        "stream_interval_pairs",
+        "stream_session_counts",
+    ]
+    promised = entry_module_head + list(ROUND4_WINDOW)
+    assert len(promised) == 50 == len(set(promised))
+    assert window == promised
