@@ -58,32 +58,26 @@ from flink_streaming_twitter_spark.session import build_session
 from flink_streaming_twitter_spark.sources.files import load_table
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--in", dest="src", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", dest="out", default="/tmp/corpus_out")
-    ap.add_argument("--nfc", action="store_true", help="Unicode NFC first (Arrow UDF)")
-    ap.add_argument(
-        "--deep-graphs",
-        action="store_true",
-        help="large-star/small-star closure (O(log n) rounds) for long dup chains",
-    )
-    ap.add_argument(
-        "--hot-domains",
-        action="store_true",
-        help="salted two-phase quota cap for a skewed source distribution",
-    )
-    ap.add_argument("--cap-k", type=int, default=10)
-    args = ap.parse_args()
-
-    spark = build_session("corpus-prep")
-    spark.sparkContext.setLogLevel("WARN")
-
-    docs = load_table(spark, args.src, "documents")
+def run(
+    spark,
+    src: str,
+    out: str,
+    *,
+    nfc: bool = False,
+    deep_graphs: bool = False,
+    hot_domains: bool = False,
+    cap_k: int = 10,
+    show: bool = True,
+):
+    """The whole pipeline against an EXISTING session (so the smoke test
+    can drive it without the app tearing down the shared test JVM).
+    Writes ``out``/corpus and ``out``/profile; returns the profile
+    DataFrame."""
+    docs = load_table(spark, src, "documents")
 
     # 1. normalize (narrow, fused into the scan), then featurize BEFORE
     # any shuffle and drop the body — wide stages move digests, not text
-    norm = normalize_text(docs, extra_cols=("source",), nfc=args.nfc)
+    norm = normalize_text(docs, extra_cols=("source",), nfc=nfc)
     feat = norm.select(
         "doc_id",
         "source",
@@ -104,7 +98,7 @@ def main() -> None:
         est_threshold=P.MINHASH_EST_THRESHOLD,
         shingle_k=P.SHINGLE_K,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    cc = connected_components_star if args.deep_graphs else connected_components
+    cc = connected_components_star if deep_graphs else connected_components
     comp = cc(pairs, nodes=exact_kept.select(F.col("doc_id").alias("id")))
     near_kept = exact_kept.join(
         comp.filter(F.col("id") == F.col("comp")).select(F.col("id").alias("doc_id")),
@@ -115,21 +109,54 @@ def main() -> None:
     admitted = weighted_mix(
         near_kept, "source", "doc_id", {"src0": 1.0, "src1": 1.0}, 0.5
     )
-    cap = cap_per_key_salted if args.hot_domains else cap_per_key
+    cap = cap_per_key_salted if hot_domains else cap_per_key
     capped = cap(
-        admitted, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], args.cap_k
+        admitted, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], cap_k
     )
 
     # 5. split + 6. profile
     final = hash_split(capped, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
-    final.write.mode("overwrite").parquet(f"{args.out}/corpus")
+    final.write.mode("overwrite").parquet(f"{out}/corpus")
     profile = final.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
-    profile.write.mode("overwrite").parquet(f"{args.out}/profile")
-    profile.orderBy("split", "source").show(60, truncate=False)
+    profile.write.mode("overwrite").parquet(f"{out}/profile")
+    if show:
+        profile.orderBy("split", "source").show(60, truncate=False)
+    return profile
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="src", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", dest="out", default="/tmp/corpus_out")
+    ap.add_argument("--nfc", action="store_true", help="Unicode NFC first (Arrow UDF)")
+    ap.add_argument(
+        "--deep-graphs",
+        action="store_true",
+        help="large-star/small-star closure (O(log n) rounds) for long dup chains",
+    )
+    ap.add_argument(
+        "--hot-domains",
+        action="store_true",
+        help="salted two-phase quota cap for a skewed source distribution",
+    )
+    ap.add_argument("--cap-k", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = build_session("corpus-prep")
+    spark.sparkContext.setLogLevel("WARN")
+    run(
+        spark,
+        args.src,
+        args.out,
+        nfc=args.nfc,
+        deep_graphs=args.deep_graphs,
+        hot_domains=args.hot_domains,
+        cap_k=args.cap_k,
+    )
     spark.stop()
 
 

@@ -53,6 +53,30 @@ FIX = os.environ.get("SKEW_BENCH_DIR", "/tmp/skewfix")
 PAYLOAD_CHARS = 64
 
 
+MANIFEST = os.path.join(FIX, "MANIFEST.json")
+_PARAMS = {
+    "N": N,
+    "N_KEYS": N_KEYS,
+    "HOT_FRAC": HOT_FRAC,
+    "PAYLOAD_CHARS": PAYLOAD_CHARS,
+}
+
+
+def fixtures_stale() -> bool:
+    """Reuse-detection keyed on the build PARAMETERS, not just isdir
+    (ADVICE r3): rerunning with a different SKEW_BENCH_N — or after an
+    interrupted build that never wrote the manifest — must rebuild
+    instead of silently benchmarking stale/truncated fixtures while
+    reporting the new N."""
+    if not os.path.isdir(FIX):
+        return True
+    try:
+        with open(MANIFEST) as f:
+            return json.load(f) != _PARAMS
+    except (OSError, ValueError):
+        return True  # no/corrupt manifest: assume interrupted build
+
+
 def build_fixtures(spark) -> None:
     # hot key = 0; a row is hot when its deterministic md5 bucket falls
     # below HOT_FRAC (same engine-portable bucket the sampling ops use)
@@ -72,6 +96,10 @@ def build_fixtures(spark) -> None:
     spark.range(N_KEYS).select(
         F.col("id").alias("k"), F.concat(F.lit("label_"), F.col("id")).alias("label")
     ).coalesce(1).write.mode("overwrite").parquet(f"{FIX}/dim")
+    # manifest LAST: its presence certifies a complete build with these
+    # exact parameters
+    with open(MANIFEST, "w") as f:
+        json.dump(_PARAMS, f)
 
 
 def timed(tag: str, thunk, spark, **extra) -> None:
@@ -88,7 +116,7 @@ def timed(tag: str, thunk, spark, **extra) -> None:
 def main() -> None:
     spark = build_session("skew-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.isdir(FIX):
+    if fixtures_stale():
         build_fixtures(spark)
 
     order = [F.col("val").desc(), F.col("id").asc()]
