@@ -36,18 +36,22 @@ from flink_streaming_twitter_spark.streaming.sinks import (
 )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--brokers", required=True, help="Kafka bootstrap servers")
-    ap.add_argument("--topic", default="tweeter-topic")  # Main.java:61
-    ap.add_argument("--influx-url", required=True, help="InfluxDB /write URL")
-    ap.add_argument("--checkpoint", default="/tmp/twitter-stream-checkpoints")
-    args = ap.parse_args()
-
-    spark = build_session(app_name="twitter-streaming")  # AQE, UTC, shuffle sizing
-    raw = kafka_tweet_stream(spark, args.brokers, args.topic)
-    tweets = parse_tweets(raw, watermark=False)  # watermark added per-pipeline
-
+def build_queries(
+    spark,
+    tweets,
+    sink_factory,
+    checkpoint: str,
+    available_now: bool = False,
+) -> list:
+    """Assemble and START the reference's four concurrent pipelines off
+    one tweet-shaped stream (columns: text, lang, ts) — the fan-out of
+    Main.java:85/104/148/159. ``sink_factory(measurement, ts_col, tags,
+    fields)`` returns the foreachBatch callable for that measurement
+    (production: InfluxDB line protocol; the smoke test collects the
+    points instead). ``available_now=True`` swaps the 5 s refresh
+    trigger for a bounded drain so a file replay can exercise the exact
+    production wiring deterministically. Returns the four
+    StreamingQuery handles."""
     # hashtag extraction feeds A and B (TokenizeTweetTextFlatMap,
     # Main.java:180-200)
     from pyspark.sql import functions as F
@@ -61,13 +65,7 @@ def main() -> None:
     pipes_tags = StreamingPipelines(tagged, ts_col="ts", key_col="hashtag")
     pipes_tweets = StreamingPipelines(tweets, ts_col="ts", key_col="lang")
 
-    def influx_sink(measurement: str, ts_col: str, tags: dict, fields: dict):
-        def on_batch(batch_df, batch_id: int) -> None:
-            pts = to_influx_points(batch_df, measurement, ts_col, tags, fields)
-            influx_lines_foreach_batch(url=args.influx_url)(pts, batch_id)
-
-        return on_batch
-
+    influx_sink = sink_factory
     queries = []
 
     # Q-A TrendingHashTagFlink2 (Main.java:85-102): chained two-stage form
@@ -84,7 +82,8 @@ def main() -> None:
             foreach_batch=influx_sink(
                 "TrendingHashTagFlink2", "w_end", {"hashtag": "hashtag"}, {"count": "cnt"}
             ),
-            checkpoint_dir=f"{args.checkpoint}/qa",
+            checkpoint_dir=f"{checkpoint}/qa",
+            available_now=available_now,
         )
     )
 
@@ -109,7 +108,8 @@ def main() -> None:
             name="trending_single",
             output_mode="update",
             foreach_batch=qb_batch,
-            checkpoint_dir=f"{args.checkpoint}/qb",
+            checkpoint_dir=f"{checkpoint}/qb",
+            available_now=available_now,
         )
     )
 
@@ -122,7 +122,8 @@ def main() -> None:
             name="running_total",
             output_mode="update",
             foreach_batch=influx_sink("TotalTweetCountFlink", "ts", {}, {"count": "total"}),
-            checkpoint_dir=f"{args.checkpoint}/qc",
+            checkpoint_dir=f"{checkpoint}/qc",
+            available_now=available_now,
         )
     )
 
@@ -138,10 +139,34 @@ def main() -> None:
             foreach_batch=influx_sink(
                 "TweetPerSecondCountFlink", "w_start_ts", {}, {"count": "cnt"}
             ),
-            checkpoint_dir=f"{args.checkpoint}/qd",
+            checkpoint_dir=f"{checkpoint}/qd",
+            available_now=available_now,
         )
     )
 
+    return queries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--brokers", required=True, help="Kafka bootstrap servers")
+    ap.add_argument("--topic", default="tweeter-topic")  # Main.java:61
+    ap.add_argument("--influx-url", required=True, help="InfluxDB /write URL")
+    ap.add_argument("--checkpoint", default="/tmp/twitter-stream-checkpoints")
+    args = ap.parse_args()
+
+    spark = build_session(app_name="twitter-streaming")  # AQE, UTC, shuffle sizing
+    raw = kafka_tweet_stream(spark, args.brokers, args.topic)
+    tweets = parse_tweets(raw, watermark=False)  # watermark added per-pipeline
+
+    def influx_sink(measurement: str, ts_col: str, tags: dict, fields: dict):
+        def on_batch(batch_df, batch_id: int) -> None:
+            pts = to_influx_points(batch_df, measurement, ts_col, tags, fields)
+            influx_lines_foreach_batch(url=args.influx_url)(pts, batch_id)
+
+        return on_batch
+
+    build_queries(spark, tweets, influx_sink, args.checkpoint)
     # four concurrent queries off one source lineage (the reference's
     # fan-out, Main.java:85/104/148/159); block until any fails/stops
     spark.streams.awaitAnyTermination()

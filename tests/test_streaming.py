@@ -689,6 +689,34 @@ def test_gate_drain_is_multi_batch_with_no_late_drops(spark, sf_dir):
     spark.catalog.dropTempView("mb_probe_sink")
 
 
+def test_gate_append_drain_emits_mid_stream(spark, sf_dir):
+    """Append-mode finalization must happen INCREMENTALLY across the
+    multi-batch drain — windows whose end the advancing watermark passes
+    fire in that micro-batch, not in one terminal flush. Asserted from
+    sink telemetry: ≥2 progress entries with emitted rows."""
+    from flink_streaming_twitter_spark.plans.reference_queries import (
+        STREAM_SESSION_GAP_S,
+        _drain_events_stream,
+    )
+
+    progress: list = []
+    _drain_events_stream(
+        spark,
+        sf_dir,
+        "midstream_probe_sink",
+        lambda pipe: pipe.session_counts(
+            f"{STREAM_SESSION_GAP_S} seconds", key_col="user_id"
+        ),
+        output_mode="append",
+        progress=progress,
+    )
+    emitting = [p for p in progress if p["sink"]["numOutputRows"] > 0]
+    assert len(emitting) >= 2, [
+        (p["batchId"], p["sink"]["numOutputRows"]) for p in progress
+    ]
+    spark.catalog.dropTempView("midstream_probe_sink")
+
+
 def test_gate_dedup_drain_crosses_batches_without_reemission(spark, sf_dir):
     """With the horizon-spanning dedup watermark, every key recurrence —
     including across micro-batch boundaries — must hit live state and be
