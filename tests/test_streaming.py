@@ -233,6 +233,62 @@ def test_stream_session_counts_equal_batch(spark, replay_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_session_merges_across_micro_batches(spark):
+    """The property the multi-batch session gate entry certifies in
+    bulk, pinned on a hand-built fixture: an event arriving in a LATER
+    micro-batch but within the gap of a live session must MERGE into it
+    (cross-batch session state), a session the final watermark finalizes
+    is emitted exactly once, and one it doesn't finalize is withheld."""
+    import glob
+    import os
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="sessmb_")
+    try:
+        # file 1: session "a" opens (t=0, 8); file 2: t=14 extends it
+        # across the batch boundary (gap 10 s: 14 − 8 < 10); file 3's
+        # flush advances the watermark to 1000−300=700, finalizing
+        # a (end 14+10=24) and b (end 689+10=699 < 700) but NOT c
+        # (end 950+10=960 > 700)
+        files = [
+            [(BASE + dt.timedelta(seconds=s), "a") for s in (0, 8)],
+            [(BASE + dt.timedelta(seconds=14), "a"), (BASE + dt.timedelta(seconds=689), "b")],
+            [(BASE + dt.timedelta(seconds=950), "c"), (BASE + dt.timedelta(seconds=1000), "flush")],
+        ]
+        stamped: set[str] = set()
+        t0 = _time.time()
+        for i, rows in enumerate(files):
+            mode = "overwrite" if i == 0 else "append"
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(mode).parquet(d)
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                if f not in stamped:
+                    os.utime(f, (t0 + i * 10, t0 + i * 10))
+                    stamped.add(f)
+
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            pipe.session_counts("10 seconds"),
+            name="sessmb_stream",
+            output_mode="append",
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+        base_epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        got = {
+            (r.event_type, r.session_start - base_epoch, r.session_last - base_epoch, r.n_events)
+            for r in spark.sql("SELECT * FROM sessmb_stream").collect()
+        }
+        # one merged 3-event session for a (NOT split at the file
+        # boundary), b's singleton, no c (unfinalized), no flush
+        # (end 1010 > watermark 700)
+        assert got == {("a", 0, 14, 3), ("b", 689, 689, 1)}, got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stateful_sessionize_emits_closed_and_timed_out_sessions(spark):
     import shutil
     import tempfile
@@ -715,6 +771,39 @@ def test_gate_append_drain_emits_mid_stream(spark, sf_dir):
         (p["batchId"], p["sink"]["numOutputRows"]) for p in progress
     ]
     spark.catalog.dropTempView("midstream_probe_sink")
+
+
+def test_gate_drain_single_file_fallback_matches_multi_batch(spark, sf_dir):
+    """n_files=1 keeps the zero-copy symlink replay (used for raw
+    throughput probing); its drained result must equal the multi-batch
+    default's — stream==batch convergence is replay-granularity-
+    independent."""
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans.reference_queries import (
+        _drain_events_stream,
+    )
+
+    def drain(view, n_files):
+        sink = _drain_events_stream(
+            spark,
+            sf_dir,
+            view,
+            lambda pipe: pipe.windowed_counts(
+                f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+            ),
+            output_mode="update",
+            n_files=n_files,
+        )
+        rows = {
+            (r.w_start, r.event_type, r.cnt)
+            for r in sink.groupBy("w_start", "w_end", "event_type")
+            .agg(F.max("cnt").alias("cnt"))
+            .collect()
+        }
+        spark.catalog.dropTempView(view)
+        return rows
+
+    assert drain("sf_single", 1) == drain("sf_multi", 3)
 
 
 def test_gate_dedup_drain_crosses_batches_without_reemission(spark, sf_dir):
