@@ -429,6 +429,13 @@ def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
         state_store="rocksdb",
+        # RocksDB pays per-INSTANCE commit overhead (one store per
+        # shuffle partition per stateful operator per batch), so the
+        # bounded replay prefers fewer partitions than the HDFS-provider
+        # drains: sweep at sf0.1 measured 4→1.98 s, 8→2.22 s, 16→2.85 s
+        # (tools note in SCALE.md). Same SIZE-THIS-UP caveat applies on
+        # a real cluster.
+        state_partitions=4,
     )
     return sink.select("sample_w_start", "top_event_type", "top_cnt")
 
