@@ -37,7 +37,6 @@ from flink_streaming_twitter_spark.streaming.sinks import (
 
 
 def build_queries(
-    spark,
     tweets,
     sink_factory,
     checkpoint: str,
@@ -65,7 +64,6 @@ def build_queries(
     pipes_tags = StreamingPipelines(tagged, ts_col="ts", key_col="hashtag")
     pipes_tweets = StreamingPipelines(tweets, ts_col="ts", key_col="lang")
 
-    influx_sink = sink_factory
     queries = []
 
     # Q-A TrendingHashTagFlink2 (Main.java:85-102): chained two-stage form
@@ -79,7 +77,7 @@ def build_queries(
             ),
             name="trending_two_stage",
             output_mode="append",
-            foreach_batch=influx_sink(
+            foreach_batch=sink_factory(
                 "TrendingHashTagFlink2", "w_end", {"hashtag": "hashtag"}, {"count": "cnt"}
             ),
             checkpoint_dir=f"{checkpoint}/qa",
@@ -90,7 +88,7 @@ def build_queries(
     # Q-B TrendingHashTagFlink1 (Main.java:104-146): stage-1 counts in
     # update mode; per-trigger top-1 inside foreachBatch
     qb_counts = pipes_tags.windowed_counts("30 seconds", "5 seconds")
-    inner_sink = influx_sink(
+    inner_sink = sink_factory(
         "TrendingHashTagFlink1", "w_end", {"hashtag": "top_hashtag"}, {"count": "top_cnt"}
     )
 
@@ -121,7 +119,7 @@ def build_queries(
             qc,
             name="running_total",
             output_mode="update",
-            foreach_batch=influx_sink("TotalTweetCountFlink", "ts", {}, {"count": "total"}),
+            foreach_batch=sink_factory("TotalTweetCountFlink", "ts", {}, {"count": "total"}),
             checkpoint_dir=f"{checkpoint}/qc",
             available_now=available_now,
         )
@@ -136,7 +134,7 @@ def build_queries(
             qd,
             name="tweets_per_second",
             output_mode="update",
-            foreach_batch=influx_sink(
+            foreach_batch=sink_factory(
                 "TweetPerSecondCountFlink", "w_start_ts", {}, {"count": "cnt"}
             ),
             checkpoint_dir=f"{checkpoint}/qd",
@@ -159,14 +157,14 @@ def main() -> None:
     raw = kafka_tweet_stream(spark, args.brokers, args.topic)
     tweets = parse_tweets(raw, watermark=False)  # watermark added per-pipeline
 
-    def influx_sink(measurement: str, ts_col: str, tags: dict, fields: dict):
+    def sink_factory(measurement: str, ts_col: str, tags: dict, fields: dict):
         def on_batch(batch_df, batch_id: int) -> None:
             pts = to_influx_points(batch_df, measurement, ts_col, tags, fields)
             influx_lines_foreach_batch(url=args.influx_url)(pts, batch_id)
 
         return on_batch
 
-    build_queries(spark, tweets, influx_sink, args.checkpoint)
+    build_queries(tweets, sink_factory, args.checkpoint)
     # four concurrent queries off one source lineage (the reference's
     # fan-out, Main.java:85/104/148/159); block until any fails/stops
     spark.streams.awaitAnyTermination()

@@ -14,6 +14,9 @@ from ..sources.files import load_table
 SESSION_GAP_S = 1800
 RANGE_WINDOW_S = 600
 
+# most recent multimodal_decode_stats decode cache (see its persist note)
+_DECODED_CACHE = None
+
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
@@ -71,7 +74,14 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the decode IS the dominant cost and doubling it is real money
     # (VERDICT r3). MEMORY_AND_DISK default: decoded rows are thin
     # (no payload column), so the cache is cheap relative to re-decoding.
+    # The returned DataFrame is lazy, so this function cannot unpersist
+    # before returning; instead each call releases the PREVIOUS call's
+    # cache, bounding a long-lived session to one pinned copy.
+    global _DECODED_CACHE
+    if _DECODED_CACHE is not None:
+        _DECODED_CACHE.unpersist()
     decoded = decode_media(media, force_stub=True).persist()
+    _DECODED_CACHE = decoded
     frames = (
         frame_sample(decoded, every_n=4)
         .groupBy("media_id")

@@ -135,6 +135,12 @@ def q_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(counts, "cnt", P.TOKEN_TOP_K, "token").select("token", "cnt")
 
 
+LAST_DRAIN_TIMING: dict = {}
+"""query_start/query_end perf_counter stamps of the most recent drain
+whose caller did not pass its own ``timing`` dict — see
+_drain_events_stream."""
+
+
 def _drain_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -194,6 +200,13 @@ def _drain_events_stream(
 
     from ..streaming.runner import StreamingPipelines, start_query
 
+    if timing is None:
+        # always expose the query-only stamps module-globally so callers
+        # that reach a drain through a generic queries() entry (the
+        # scale probe) can still separate stream execution from replay
+        # prep without duplicating the entry's build wiring
+        timing = LAST_DRAIN_TIMING
+        timing.clear()
     load_table(spark, sf_dir, "events")  # sets nanosAsLong/UTC session confs
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix=f"{view}_")

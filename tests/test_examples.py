@@ -92,8 +92,22 @@ def test_twitter_stream_app_fans_out_four_pipelines(spark):
     d = tempfile.mkdtemp(prefix="tweets_replay_")
     ckpt = tempfile.mkdtemp(prefix="tweets_ckpt_")
     try:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
-        spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(d)
+        # stamp strictly increasing mtimes so the file source admits the
+        # data file before the flush file even on coarse-mtime
+        # filesystems (flush first would watermark-drop every data row)
+        import glob
+        import os
+        import time as _time
+
+        stamped: set[str] = set()
+        t0 = _time.time()
+        for i, batch in enumerate((rows, flush)):
+            mode = "overwrite" if i == 0 else "append"
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(mode).parquet(d)
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                if f not in stamped:
+                    os.utime(f, (t0 + i * 10, t0 + i * 10))
+                    stamped.add(f)
 
         collected: dict[str, list] = {}
 
@@ -107,7 +121,7 @@ def test_twitter_stream_app_fans_out_four_pipelines(spark):
         tweets = (
             spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
         )
-        queries = build_queries(spark, tweets, collecting_sink, ckpt, available_now=True)
+        queries = build_queries(tweets, collecting_sink, ckpt, available_now=True)
         assert len(queries) == 4
         for q in queries:
             assert q.awaitTermination(180), f"{q.name} did not drain"

@@ -47,6 +47,8 @@ def main() -> None:
     for d in (SF01, SF1):
         spark.read.parquet(os.path.join(d, "events.parquet")).count()
         spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+    from flink_streaming_twitter_spark.plans import reference_queries as RQ
+
     for name in QUERIES:
         row = {"bench": name}
         for tag, d in (("sf0.1", SF01), ("x10", SF1)):
@@ -56,6 +58,16 @@ def main() -> None:
                 t0 = time.perf_counter()
                 rows = qs[name](spark, d).count()
                 dt = time.perf_counter() - t0
+                # stream entries: time ONLY query start → termination via
+                # the drain's module-global stamps (same scope as the
+                # bench probe, ADVICE r3) — the wall clock would fold the
+                # per-pass replay prep (O(n) pyarrow sort+split) into the
+                # measurement and overstate drain-cost growth at 10×
+                if name.startswith("stream_") and RQ.LAST_DRAIN_TIMING:
+                    dt = (
+                        RQ.LAST_DRAIN_TIMING["query_end"]
+                        - RQ.LAST_DRAIN_TIMING["query_start"]
+                    )
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()
             row[tag] = round(best, 2)
