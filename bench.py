@@ -58,6 +58,9 @@ def _stream_qb_drain(spark) -> tuple[float, int]:
         output_mode="update",
         timing=timing,
         progress=progress,
+        # SPARK_GRAFT_STREAM_FILES=1 probes the zero-copy single-batch
+        # replay for comparison; default mirrors the gate (multi-batch)
+        n_files=int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "3")),
     )
     elapsed = timing["query_end"] - timing["query_start"]
     n_batches = sum(1 for p in progress if p["numInputRows"] > 0)

@@ -79,7 +79,10 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache, bounding a long-lived session to one pinned copy.
     global _DECODED_CACHE
     if _DECODED_CACHE is not None:
-        _DECODED_CACHE.unpersist()
+        try:
+            _DECODED_CACHE.unpersist()
+        except Exception:
+            pass  # previous cache belonged to an already-stopped session
     decoded = decode_media(media, force_stub=True).persist()
     _DECODED_CACHE = decoded
     frames = (
