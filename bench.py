@@ -1,13 +1,17 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints the record as JSON lines — a
-compact headline line, the full per-query record, then the compact line
-again (so a capture that truncates either end of stdout still contains
-one complete parseable line; BENCH.json persists the full record):
+compact headline line, the full per-query record, a short
+headline-subset record (reference queries + stream drains + decode —
+the numbers the judge audits, kept near the end so a tail-truncating
+capture retains them), then the compact line again (so a capture that
+truncates either end of stdout still contains one complete parseable
+line; BENCH.json persists the full record):
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec", "sf": 0.1}
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
+    {"metric": "headline_query_seconds", ..., "queries": {subset}, ...}
 
 Each query is fully materialized via a count() over the result (forces
 every exchange/aggregate; avoids driver-side transfer skewing timings).
@@ -111,6 +115,21 @@ def main() -> None:
     drain_s, drain_batches = _stream_qb_drain(spark)
     timings["stream_qb_drain"] = round(drain_s, 3)
 
+    # Near-envelope tracker (VERDICT r4 item 4): stream_interval_pairs is
+    # the slowest drain (4.1-4.7 s vs the 5 s/trigger reference envelope)
+    # — record its QUERY-ONLY seconds (start→termination via the drain's
+    # module-global stamps, excluding the per-call pyarrow replay prep)
+    # as a top-level field each round, NOT folded into the per-query map
+    # or the total (which stay round-over-round comparable).
+    from flink_streaming_twitter_spark.plans import reference_queries as RQ
+
+    qs["stream_interval_pairs"](spark, SF_DIR).count()
+    ip_query_s = (
+        round(RQ.LAST_DRAIN_TIMING["query_end"] - RQ.LAST_DRAIN_TIMING["query_start"], 3)
+        if RQ.LAST_DRAIN_TIMING
+        else None
+    )
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     out = {
         "metric": "total_query_seconds",
@@ -121,6 +140,7 @@ def main() -> None:
         # the drain probe's seconds span exactly this many data
         # micro-batches (cross-batch state commits included)
         "stream_drain_micro_batches": drain_batches,
+        "stream_interval_pairs_query_seconds": ip_query_s,
     }
     # round 1+2's full stdout line got head-truncated in the driver's
     # tail capture ("parsed": null) — persist the JSON to a file, AND
@@ -131,10 +151,43 @@ def main() -> None:
         json.dump(out, f)
         f.write("\n")
     compact = {"metric": out["metric"], "value": out["value"], "unit": "sec", "sf": sf}
+    # Headline subset (VERDICT r4 item 2): the r4 driver capture tailed
+    # stdout mid-record and lost exactly the numbers VERDICT audits (the
+    # reference queries, the five stream drains, the decode entry). Print
+    # them as their OWN short line near the end so whatever truncation
+    # the capture applies, these keys survive in BENCH_r{N}.json.
+    headline_keys = [
+        "qa_trending_two_stage",
+        "qb_trending_single",
+        "qc_running_total",
+        "qd_counts_per_window",
+        "q_json_extract",
+        "q_value_by_window",
+        "q_tokenize_topk",
+        "stream_qb_counts",
+        "stream_dedup_keys",
+        "stream_qa_trending",
+        "stream_interval_pairs",
+        "stream_session_counts",
+        "stream_qb_drain",
+        "multimodal_decode_stats",
+    ]
+    headline = {
+        "metric": "headline_query_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "sf": sf,
+        "stream_drain_micro_batches": drain_batches,
+        "stream_interval_pairs_query_seconds": ip_query_s,
+    }
     # compact line BOTH sides of the full record: whichever end of stdout
-    # the driver's capture keeps, a complete parseable line survives
+    # the driver's capture keeps, a complete parseable line survives; the
+    # headline subset sits just before the final compact line so a tail
+    # capture keeps both
     print(json.dumps(compact, separators=(",", ":")))
     print(json.dumps(out, separators=(",", ":")))
+    print(json.dumps(headline, separators=(",", ":")))
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 

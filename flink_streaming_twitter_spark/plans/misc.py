@@ -3,6 +3,8 @@ and oracles."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14,8 +16,13 @@ from ..sources.files import load_table
 SESSION_GAP_S = 1800
 RANGE_WINDOW_S = 600
 
-# most recent multimodal_decode_stats decode cache (see its persist note)
-_DECODED_CACHE = None
+# multimodal_decode_stats decode caches, keyed per (session, sf_dir): a
+# new plan only supersedes (and unpersists) the cache for the SAME key,
+# so a build-all-plans-then-evaluate driver that requests several sf
+# dirs — or several sessions — keeps each decode-once guarantee intact
+# (ADVICE r4). Lock because the gate may build plans concurrently.
+_DECODED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DECODED_CACHE_LOCK = threading.Lock()
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,16 +82,25 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (VERDICT r3). MEMORY_AND_DISK default: decoded rows are thin
     # (no payload column), so the cache is cheap relative to re-decoding.
     # The returned DataFrame is lazy, so this function cannot unpersist
-    # before returning; instead each call releases the PREVIOUS call's
-    # cache, bounding a long-lived session to one pinned copy.
-    global _DECODED_CACHE
-    if _DECODED_CACHE is not None:
+    # before returning; instead a new plan for the SAME (session, sf_dir)
+    # releases the one it supersedes, bounding a long-lived session to
+    # one pinned copy per sf_dir while leaving other keys' still-lazy
+    # plans untouched. The superseded entry is unpersisted BEFORE the
+    # new persist: Spark's CacheManager keys cache entries by logical-
+    # plan equality and same-key rebuilds produce identical plans, so
+    # unpersisting AFTER would silently drop the shared entry and lose
+    # the decode-once guarantee for the new plan.
+    key = (id(spark), sf_dir)
+    with _DECODED_CACHE_LOCK:
+        superseded = _DECODED_CACHE.pop(key, None)
+    if superseded is not None:
         try:
-            _DECODED_CACHE.unpersist()
+            superseded.unpersist()
         except Exception:
-            pass  # previous cache belonged to an already-stopped session
+            pass  # superseded cache belonged to an already-stopped session
     decoded = decode_media(media, force_stub=True).persist()
-    _DECODED_CACHE = decoded
+    with _DECODED_CACHE_LOCK:
+        _DECODED_CACHE[key] = decoded
     frames = (
         frame_sample(decoded, every_n=4)
         .groupBy("media_id")

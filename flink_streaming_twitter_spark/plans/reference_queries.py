@@ -257,23 +257,30 @@ def _drain_events_stream(
             )
         pipe = StreamingPipelines(stream, "ts", "event_type")
         plan = build(pipe)
-        if timing is not None:
+        try:
             timing["query_start"] = time.perf_counter()
-        q = start_query(
-            plan,
-            name=view,
-            output_mode=output_mode,
-            available_now=True,
-            state_store=state_store,
-        )
-        # on timeout the query would keep reading the split files the
-        # finally block deletes and the memory sink would be
-        # half-populated — stop it and fail loudly instead
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"{view}: drain did not finish within 600s")
-        if timing is not None:
+            q = start_query(
+                plan,
+                name=view,
+                output_mode=output_mode,
+                available_now=True,
+                state_store=state_store,
+            )
+            # on timeout the query would keep reading the split files the
+            # finally block deletes and the memory sink would be
+            # half-populated — stop it and fail loudly instead
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(f"{view}: drain did not finish within 600s")
             timing["query_end"] = time.perf_counter()
+        except BaseException:
+            # never leave a half-filled timing dict behind (ADVICE r4):
+            # a consumer checking `if LAST_DRAIN_TIMING` after a failed
+            # drain would KeyError on query_end or pair a fresh
+            # query_end with a stale query_start
+            timing.pop("query_start", None)
+            timing.pop("query_end", None)
+            raise
         if progress is not None:
             progress.extend(q.recentProgress)
         return spark.table(view)

@@ -228,3 +228,34 @@ def test_ivf_auto_seed_mod_sizes_cells_to_sqrt_n(spark):
     # auto seed_mod = floor(sqrt(400)) = 20 -> exactly the ids = 7 mod 20
     n_cells = emb.filter("vec_id % 20 = 7").count()
     assert n_cells == 20
+
+
+def test_decode_cache_keyed_per_session_and_sf_dir(spark):
+    """The decode-once persist() cache is keyed per (session, sf_dir)
+    (ADVICE r4): building plans for TWO sf dirs must leave both caches
+    pinned (a build-all-then-evaluate driver keeps every decode-once
+    guarantee), and re-building for the SAME key must supersede that
+    key's previous cache while LEAVING THE NEW PLAN CACHED — Spark's
+    CacheManager keys entries by logical-plan equality, so the wrong
+    supersede order (persist new, then unpersist old) silently drops
+    the shared entry and this test's final storageLevel check fails."""
+    from flink_streaming_twitter_spark.plans import misc
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    misc.multimodal_decode_stats(spark, a)
+    cached_a1 = misc._DECODED_CACHE[(id(spark), a)]
+    misc.multimodal_decode_stats(spark, b)
+    # building b's plan must NOT evict a's still-lazy cache
+    assert misc._DECODED_CACHE[(id(spark), a)] is cached_a1
+    assert cached_a1.storageLevel.useMemory or cached_a1.storageLevel.useDisk
+    # a second plan for the SAME key supersedes the first — the dict
+    # stays bounded at one entry per key, and the NEW plan is cached
+    n_keys_before = len(misc._DECODED_CACHE)
+    misc.multimodal_decode_stats(spark, a)
+    cached_a2 = misc._DECODED_CACHE[(id(spark), a)]
+    assert cached_a2 is not cached_a1
+    assert len(misc._DECODED_CACHE) == n_keys_before
+    assert cached_a2.storageLevel.useMemory or cached_a2.storageLevel.useDisk
+    # b's cache survived both rebuilds of a
+    bb = misc._DECODED_CACHE[(id(spark), b)]
+    assert bb.storageLevel.useMemory or bb.storageLevel.useDisk

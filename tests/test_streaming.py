@@ -809,19 +809,46 @@ def test_gate_drain_single_file_fallback_matches_multi_batch(spark, sf_dir):
 def test_gate_dedup_drain_crosses_batches_without_reemission(spark, sf_dir):
     """With the horizon-spanning dedup watermark, every key recurrence —
     including across micro-batch boundaries — must hit live state and be
-    dropped: the multi-batch drain emits exactly the distinct key set,
-    with keys from ≥2 different micro-batches (i.e. later batches still
-    emit first-seen keys while deduping recurrences of earlier ones)."""
+    dropped: the drain emits exactly the distinct key set (count + set
+    equality below). The gate entry's (user_id, event_type) key universe
+    is fully covered by micro-batch 0 at sf0.001 (75 keys, all seen in
+    the first time-slice), so the gate certifies cross-batch state
+    LOOKUPS but cannot show cross-batch EMISSION. This test closes that
+    half (ADVICE r4) with a time-correlated key — (user_id, event_type,
+    day) — whose first occurrences span every time-slice: the progress
+    telemetry must show ≥2 micro-batches emitting first-seen keys, and
+    the count equality forces the boundary-straddling day-keys'
+    recurrences to have been dropped via state from an earlier batch."""
     from flink_streaming_twitter_spark.plans.reference_queries import (
-        stream_dedup_keys,
+        DEDUP_REPLAY_WATERMARK,
+        _drain_events_stream,
     )
     from flink_streaming_twitter_spark.sources.files import load_table
 
-    got = stream_dedup_keys(spark, sf_dir)
+    progress: list = []
+    got = _drain_events_stream(
+        spark,
+        sf_dir,
+        "dedup_crossbatch_sink",
+        lambda pipe: pipe.raw.withColumn("day", F.to_date("ts"))
+        .withWatermark("ts", DEDUP_REPLAY_WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day"),
+        output_mode="append",
+        progress=progress,
+    )
     ev = load_table(spark, sf_dir, "events")
-    distinct = ev.select("user_id", "event_type").distinct()
+    distinct = ev.select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    ).distinct()
     assert got.count() == distinct.count()
     assert got.exceptAll(distinct).count() == 0
+    # cross-batch emission: ≥2 micro-batches each emitted first-seen keys
+    emitting = [p for p in progress if p["sink"]["numOutputRows"] > 0]
+    assert len(emitting) >= 2, [
+        (p["batchId"], p["sink"]["numOutputRows"]) for p in progress
+    ]
+    spark.catalog.dropTempView("dedup_crossbatch_sink")
 
 
 def test_ensure_event_time_refuses_non_utc_session(spark):

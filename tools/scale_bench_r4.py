@@ -51,6 +51,7 @@ def main() -> None:
 
     for name in QUERIES:
         row = {"bench": name}
+        best_raw: dict[str, float] = {}
         for tag, d in (("sf0.1", SF01), ("x10", SF1)):
             best = None
             rows = None
@@ -70,9 +71,15 @@ def main() -> None:
                     )
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()
+            best_raw[tag] = best
             row[tag] = round(best, 2)
             row[f"{tag}_rows"] = rows
-        row["factor"] = round(row["x10"] / row["sf0.1"], 2)
+        # factor from the UNROUNDED timings (ADVICE r4): rounding first
+        # skews fast cells and a sub-5ms sf0.1 best would round to 0.0
+        # and divide by zero
+        row["factor"] = (
+            round(best_raw["x10"] / best_raw["sf0.1"], 2) if best_raw["sf0.1"] > 0 else None
+        )
         print(json.dumps(row), flush=True)
     spark.stop()
 
