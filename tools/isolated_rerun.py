@@ -9,8 +9,16 @@ entry alone, several passes, in its own session gives the distribution:
 a plan regression shifts EVERY pass; noise shows up as a fat first pass
 decaying to a steady state (cf. dedup_clusters: 7.5/5.6/2.4/2.3 s).
 
+Both distributions are recorded: ``passes`` (no explicit GC — the
+bench's ambient condition, where cleanup debt from persisted blocks and
+shuffle files lands as a multi-second burst on whichever pass the
+collector fires in) and ``passes_gc`` (System.gc() after each pass —
+flushes the debt at a known point, exposing the cold-JIT-then-steady
+shape). A plan regression shifts BOTH; GC noise only the first.
+
 Usage: python tools/isolated_rerun.py <query_name> [passes=5] [sf_dir]
-Prints one JSON line: {"bench": name, "sf_dir": ..., "passes": [s, ...]}
+Prints one JSON line:
+  {"bench": name, "sf_dir": ..., "passes": [...], "passes_gc": [...]}
 """
 
 from __future__ import annotations
@@ -35,13 +43,26 @@ def main() -> None:
     spark = build_session(f"isolated-{name}", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     fn = entry_mod.queries()[name]
-    passes: list[float] = []
-    for _ in range(n_passes):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        passes.append(round(time.perf_counter() - t0, 2))
-        spark.catalog.clearCache()
-    print(json.dumps({"bench": name, "sf_dir": sf_dir, "passes": passes}))
+
+    def run(n: int, gc: bool) -> list[float]:
+        out: list[float] = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            out.append(round(time.perf_counter() - t0, 2))
+            spark.catalog.clearCache()
+            if gc:
+                spark.sparkContext._jvm.System.gc()
+        return out
+
+    passes = run(n_passes, gc=False)
+    spark.sparkContext._jvm.System.gc()
+    passes_gc = run(n_passes, gc=True)
+    print(
+        json.dumps(
+            {"bench": name, "sf_dir": sf_dir, "passes": passes, "passes_gc": passes_gc}
+        )
+    )
     spark.stop()
 
 

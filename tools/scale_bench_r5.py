@@ -5,16 +5,20 @@ sizing, not plan shape" claim (SCALE.md) is measured at 100×, not
 extrapolated from 10×:
 
 - ``dedup_ngram_jaccard`` — the exact all-pairs baseline whose candidate
-  pool grows ~quadratically on a correlated corpus. Run at the gate
-  threshold (0.5) AND at a scale-sized threshold (0.8, SCALE.md's
-  guidance: at higher scale raise the similarity bar so the PPJoin
-  prefix filter — whose prefix length is ``floor((1-t)·|set|)+1`` —
-  prunes more aggressively); the two cells separate parameter effect
-  from data effect.
+  pool grows ~quadratically on a correlated corpus. The PARAMETER effect
+  is measured at sf0.1 (gate threshold 0.5 vs scale-sized 0.8 —
+  SCALE.md's guidance: at higher scale raise the similarity bar so the
+  PPJoin prefix filter, prefix length ``floor((1-t)·|set|)+1``, prunes
+  more aggressively) and the DATA effect at the sized threshold
+  (sf0.1 → ×100 at t=0.8). The ×100-at-gate-threshold cell is
+  deliberately behind ``SPARK_GRAFT_X100_GATE_PARAMS=1`` — it is the
+  documented-unscalable configuration (9.2× wall at 10×) and can run
+  for tens of minutes.
 - ``dedup_simhash`` — output-bound (bucket-collision pairs grew 28× at
-  10×). Run at the gate ``max_hamming=3`` and at the scale-sized
-  ``max_hamming=1`` (fewer matching bands pass the exact Hamming
-  verify; banding itself stays linear).
+  10×). Same split: parameter effect at sf0.1 (gate ``max_hamming=3``
+  vs sized ``max_hamming=1`` — fewer pairs survive the exact Hamming
+  verify; banding itself stays linear), data effect at the sized
+  setting; ×100 at the gate setting behind the same env flag.
 - ``stream_qb_counts`` — one full multi-batch drain with 10 M events
   through 3 state-commit cycles (query-only timing via the drain's
   stamps); window-count state is span-bound, so wall should stay near
@@ -114,46 +118,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_scale100(spark)
 
+    include_gate_x100 = os.environ.get("SPARK_GRAFT_X100_GATE_PARAMS") == "1"
+
+    def ngram(d, t):
+        return D.ngram_jaccard_pairs(
+            load_table(spark, d, "documents"), threshold=t, shingle_k=P.SHINGLE_K
+        )
+
+    def simhash(d, h):
+        return D.simhash_near_pairs(load_table(spark, d, "documents"), max_hamming=h)
+
+    gate_dirs = (("sf0.1", SRC), ("x100", DST)) if include_gate_x100 else (("sf0.1", SRC),)
     cells = (
-        (
-            "dedup_ngram_jaccard",
-            {"threshold": P.JACCARD_THRESHOLD},
-            lambda d: D.ngram_jaccard_pairs(
-                load_table(spark, d, "documents"),
-                threshold=P.JACCARD_THRESHOLD,
-                shingle_k=P.SHINGLE_K,
-            ),
-        ),
-        (
-            "dedup_ngram_jaccard",
-            {"threshold": 0.8},
-            lambda d: D.ngram_jaccard_pairs(
-                load_table(spark, d, "documents"), threshold=0.8, shingle_k=P.SHINGLE_K
-            ),
-        ),
-        (
-            "dedup_simhash",
-            {"max_hamming": P.SIMHASH_MAX_HAMMING},
-            lambda d: D.simhash_near_pairs(
-                load_table(spark, d, "documents"), max_hamming=P.SIMHASH_MAX_HAMMING
-            ),
-        ),
-        (
-            "dedup_simhash",
-            {"max_hamming": 1},
-            lambda d: D.simhash_near_pairs(
-                load_table(spark, d, "documents"), max_hamming=1
-            ),
-        ),
+        ("dedup_ngram_jaccard", {"threshold": P.JACCARD_THRESHOLD},
+         lambda d: ngram(d, P.JACCARD_THRESHOLD), gate_dirs),
+        ("dedup_ngram_jaccard", {"threshold": 0.8},
+         lambda d: ngram(d, 0.8), (("sf0.1", SRC), ("x100", DST))),
+        ("dedup_simhash", {"max_hamming": P.SIMHASH_MAX_HAMMING},
+         lambda d: simhash(d, P.SIMHASH_MAX_HAMMING), gate_dirs),
+        ("dedup_simhash", {"max_hamming": 1},
+         lambda d: simhash(d, 1), (("sf0.1", SRC), ("x100", DST))),
     )
-    for name, knobs, build in cells:
+    for name, knobs, build, dirs in cells:
         row: dict = {"bench": name, **knobs}
-        for tag, d in (("sf0.1", SRC), ("x100", DST)):
+        for tag, d in dirs:
             best, rows = timed(lambda: build(d))
             row[tag] = round(best, 2)
             row[f"{tag}_rows"] = rows
             spark.catalog.clearCache()
-        row["factor"] = round(row["x100"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
+            spark.sparkContext._jvm.System.gc()
+        if "x100" in row and row["sf0.1"] > 0:
+            row["factor"] = round(row["x100"] / row["sf0.1"], 2)
         print(json.dumps(row), flush=True)
 
     # one full drain at 100× events (query-only seconds, same scope as
