@@ -221,8 +221,11 @@ def lsh_verified_jaccard(
     (1−J^rows)^bands, <3% at J=0.7 with 4×4) for candidate cost that does
     NOT grow with shared-shingle density — the measured 10× stress showed
     the exact join's candidates grow ~quadratically on correlated corpora
-    while LSH buckets stay linear (SCALE.md). Precision is exact either
-    way; deploy this form at scale.
+    while LSH buckets stay linear, and the round-5 ×100 stress confirmed
+    it at a second decade: 29.9 s vs the sized exact join's 334.7 s on
+    identical data, at a MEASURED 99.85% recall (25,562 of a
+    construction-pinned 25,600 true pairs — SCALE.md ×100 table).
+    Precision is exact either way; deploy this form at scale.
     """
     sets = doc_shingle_sets(docs, k=shingle_k).persist()
     sigs = minhash_signatures(sets, num_perm)

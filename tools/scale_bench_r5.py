@@ -23,6 +23,12 @@ extrapolated from 10×:
   through 3 state-commit cycles (query-only timing via the drain's
   stamps); window-count state is span-bound, so wall should stay near
   the 10× figure.
+- ``dedup_lsh_exact`` + ``dedup_minhash_lsh`` — the DEPLOY-path
+  contrast cells, run at the unchanged gate parameters (banded LSH
+  needs no resizing — that is its point): if the exact all-pairs
+  baseline goes super-linear at ×100 while these stay near the data
+  factor, the "deploy the two-tier form at scale" guidance is measured
+  at two decades rather than argued from 10×.
 
 Replica scheme = tools/make_scale10.py's (id offsets; per-replica salt
 token every other word so replicas are NOT near-dups of the original),
@@ -128,16 +134,24 @@ def main() -> None:
     def simhash(d, h):
         return D.simhash_near_pairs(load_table(spark, d, "documents"), max_hamming=h)
 
+    from flink_streaming_twitter_spark.plans import dedup as PD
+
     gate_dirs = (("sf0.1", SRC), ("x100", DST)) if include_gate_x100 else (("sf0.1", SRC),)
+    both = (("sf0.1", SRC), ("x100", DST))
     cells = (
         ("dedup_ngram_jaccard", {"threshold": P.JACCARD_THRESHOLD},
          lambda d: ngram(d, P.JACCARD_THRESHOLD), gate_dirs),
         ("dedup_ngram_jaccard", {"threshold": 0.8},
-         lambda d: ngram(d, 0.8), (("sf0.1", SRC), ("x100", DST))),
+         lambda d: ngram(d, 0.8), both),
         ("dedup_simhash", {"max_hamming": P.SIMHASH_MAX_HAMMING},
          lambda d: simhash(d, P.SIMHASH_MAX_HAMMING), gate_dirs),
         ("dedup_simhash", {"max_hamming": 1},
-         lambda d: simhash(d, 1), (("sf0.1", SRC), ("x100", DST))),
+         lambda d: simhash(d, 1), both),
+        # deploy-path contrast: gate parameters unchanged by design
+        ("dedup_lsh_exact", {"threshold": P.JACCARD_THRESHOLD},
+         lambda d: PD.dedup_lsh_exact(spark, d), both),
+        ("dedup_minhash_lsh", {"est_threshold": P.MINHASH_EST_THRESHOLD},
+         lambda d: PD.dedup_minhash_lsh(spark, d), both),
     )
     for name, knobs, build, dirs in cells:
         row: dict = {"bench": name, **knobs}
