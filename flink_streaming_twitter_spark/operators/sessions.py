@@ -2,7 +2,10 @@
 session windows as extension-roadmap) but Spark has natively.
 
 Batch and streaming share ``session_window(ts, gap)``: events from one
-user separated by less than the gap merge into one session. The batch
+user separated by AT MOST the gap merge into one session (Spark merges
+sessions whose intervals touch — an event exactly gap seconds after the
+previous one still merges; pinned by
+test_sessionize_matches_gap_merge_model). The batch
 form here is oracle-checked against a DuckDB gaps-and-islands rewrite
 (lag + cumulative flag sum) — the classic SQL equivalent.
 

@@ -155,7 +155,7 @@ EVENTS_SESSIONIZE_SQL = f"""
 WITH o AS (
   SELECT user_id, epoch(ts) AS e,
          CASE WHEN lag(epoch(ts)) OVER w IS NULL
-              OR epoch(ts) - lag(epoch(ts)) OVER w >= {SESSION_GAP_S}
+              OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

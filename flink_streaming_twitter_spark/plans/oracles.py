@@ -189,14 +189,19 @@ def _stream_session_counts_sql() -> str:
     # oracle, with the append-mode emission envelope: a session fires
     # once the watermark passes its end (exact last event time + gap —
     # NOT the floor()ed output column), so only sessions whose end the
-    # final watermark covers appear in the drained sink. Event times
-    # carry sub-second precision and the gap/delay are whole seconds, so
-    # the <= boundary cannot be hit on a tie.
+    # final watermark covers appear in the drained sink. The split
+    # condition is strictly-greater: Spark merges sessions whose
+    # intervals TOUCH (delta == gap still merges — pinned by
+    # test_sessionize_matches_gap_merge_model), so only delta > gap
+    # starts a new session. Event times carry sub-second precision and
+    # the gap/delay are whole seconds, so the boundary cannot be hit on
+    # a tie in this data — the condition matters for the semantics, not
+    # this dataset.
     return f"""
 WITH o AS (
   SELECT user_id, epoch(ts) AS e,
          CASE WHEN lag(epoch(ts)) OVER w IS NULL
-              OR epoch(ts) - lag(epoch(ts)) OVER w >= {G}
+              OR epoch(ts) - lag(epoch(ts)) OVER w > {G}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -278,3 +278,164 @@ def test_cap_per_key_matches_python_model(spark, rows, k):
         )
         expect.extend((dom, i) for _, i in members[:k])
     assert got == sorted(expect)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=50), min_size=2, max_size=10
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
+    """The PPJoin prefix + length filters are LOSSLESS: ngram_jaccard_pairs
+    emits exactly the pairs whose true shingle-set Jaccard >= threshold
+    (brute force over the operator's own doc_shingle_sets output — this
+    pins the candidate-generation logic, the most intricate filter in the
+    dedup family, independently of the hashing already modeled above)."""
+    from flink_streaming_twitter_spark.operators.dedup import (
+        doc_shingle_sets,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    sets = {r.doc_id: set(r.shs) for r in doc_shingle_sets(docs, k=3).collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=threshold, shingle_k=3).collect()
+    }
+    expected = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= threshold:
+                expected.add((a, b, jac))
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Plain iterative CC labels equal an independent union-find model
+    (comp = min reachable id) on random graphs — absolute correctness,
+    complementing test_graph's star==plain mutual-consistency check."""
+    from flink_streaming_twitter_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.id, r.comp) for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    comps: dict[int, list[int]] = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    expected = {(n, min(ms)) for ms in comps.values() for n in ms}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 100)), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_gap_merge_model(spark, rows):
+    """sessionize (native session_window) equals a Python gap-merge model,
+    including the boundary semantic: an event exactly gap seconds after
+    the previous one still MERGES (Spark merges sessions whose intervals
+    touch — [0,10] and [10,20] coalesce; only t - prev > gap splits)."""
+    from flink_streaming_twitter_spark.operators.sessions import sessionize
+
+    gap_s = 10
+    df = spark.createDataFrame(
+        [(u, float(t)) for u, t in rows], ["user_id", "sec"]
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    got = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in sessionize(df, "ts", "user_id", f"{gap_s} seconds").collect()
+    }
+    expected = set()
+    byu: dict[int, list[int]] = {}
+    for u, t in rows:
+        byu.setdefault(u, []).append(t)
+    for u, ts in byu.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev <= gap_s:
+                prev = t
+                n += 1
+            else:
+                expected.add((u, start, prev, n))
+                start = prev = t
+                n = 1
+        expected.add((u, start, prev, n))
+    assert got == expected
+
+
+def test_sessionize_oracle_sql_agrees_at_exact_gap_boundary(spark):
+    """Deterministic companion to the gap-merge property: the DuckDB
+    oracle (EVENTS_SESSIONIZE_SQL) and the Spark operator agree on a
+    fixture whose deltas hit EXACTLY the gap — the boundary the sf event
+    data can never exercise (fractional-second timestamps, whole-second
+    gap). Pins the oracle's strictly-greater split condition against
+    Spark's touching-intervals merge; a >= split would fail here."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from flink_streaming_twitter_spark.operators.sessions import sessionize
+    from flink_streaming_twitter_spark.plans.misc import (
+        EVENTS_SESSIONIZE_SQL,
+        SESSION_GAP_S,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    offsets = [
+        (1, 0),
+        (1, SESSION_GAP_S),          # exactly gap after -> MERGES
+        (1, 2 * SESSION_GAP_S + 1),  # gap+1 after the previous -> splits
+        (2, 0),
+        (2, SESSION_GAP_S - 1),      # inside the gap -> merges
+        (2, 3 * SESSION_GAP_S),      # far after -> splits
+    ]
+    rows = [(u, base + dt.timedelta(seconds=s)) for u, s in offsets]
+
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in sessionize(df, "ts", "user_id", f"{SESSION_GAP_S} seconds").collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame({"user_id": [u for u, _ in rows], "ts": [t for _, t in rows]}),
+    )
+    expected = {
+        (r[0], r[1], r[2], r[3]) for r in con.execute(EVENTS_SESSIONIZE_SQL).fetchall()
+    }
+    con.close()
+
+    base_e = int(base.timestamp())
+    assert got == expected
+    # and the semantics are the intended ones, not merely mutually wrong:
+    # user 1's first session spans [0, gap] (the touching event merged)
+    assert (1, base_e, base_e + SESSION_GAP_S, 2) in got
