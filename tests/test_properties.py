@@ -439,3 +439,38 @@ def test_sessionize_oracle_sql_agrees_at_exact_gap_boundary(spark):
     # and the semantics are the intended ones, not merely mutually wrong:
     # user 1's first session spans [0, gap] (the touching event merged)
     assert (1, base_e, base_e + SESSION_GAP_S, 2) in got
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=50), min_size=2, max_size=10
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_lsh_verified_jaccard_is_exact_subset_of_all_pairs(spark, texts, threshold):
+    """The two-tier deploy path (lsh_verified_jaccard) has EXACT
+    precision: every emitted pair appears in the exact all-pairs join
+    with the identical Jaccard score (recall is probabilistic — bounded
+    by the band-miss formula — but a pair it does emit must never be
+    wrong, and a pair outside the exact result set would be a
+    verification bug)."""
+    from flink_streaming_twitter_spark.operators.dedup import (
+        lsh_verified_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=threshold, shingle_k=3).collect()
+    }
+    tiered = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_verified_jaccard(
+            docs, num_perm=16, bands=4, threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    assert set(tiered) <= set(exact)
+    for pair, jac in tiered.items():
+        assert jac == exact[pair]
