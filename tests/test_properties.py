@@ -474,3 +474,78 @@ def test_lsh_verified_jaccard_is_exact_subset_of_all_pairs(spark, texts, thresho
     assert set(tiered) <= set(exact)
     for pair, jac in tiered.items():
         assert jac == exact[pair]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_lsh_candidate_pairs_match_banding_model(spark, texts):
+    """lsh_candidate_pairs emits exactly the pairs whose MinHash
+    signatures agree on ALL rows of at least one band (Python banding
+    model over the operator's own signatures) — pins the band/sig
+    construction and self-join conditions; the concat_ws('_') band key
+    is unambiguous for integer hashes, so string buckets equal tuple
+    buckets."""
+    from flink_streaming_twitter_spark.operators.dedup import (
+        doc_shingle_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    num_perm, bands = 16, 4
+    rows = num_perm // bands
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    sigs_df = minhash_signatures(doc_shingle_sets(docs, k=3), num_perm)
+    sigs = {r.doc_id: list(r.mhs) for r in sigs_df.collect()}
+    got = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs_df, num_perm, bands).collect()
+    }
+    expected = set()
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if any(
+                sigs[a][band * rows : (band + 1) * rows]
+                == sigs[b][band * rows : (band + 1) * rows]
+                for band in range(bands)
+            ):
+                expected.add((a, b))
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_near_pairs_are_pigeonhole_complete(spark, texts):
+    """simhash_near_pairs equals brute force over the operator's own
+    fingerprints: with 4 bands and max_hamming=3, the pigeonhole
+    guarantees every true pair shares a clean band (completeness), and
+    the exact xor/bit_count verify guarantees nothing else survives
+    (exactness) — so band blocking must be invisible in the result."""
+    from flink_streaming_twitter_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    expected = set()
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 3:
+                expected.add((a, b, ham))
+    assert got == expected
