@@ -549,3 +549,40 @@ def test_simhash_near_pairs_are_pigeonhole_complete(spark, texts):
             if ham <= 3:
                 expected.add((a, b, ham))
     assert got == expected
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 200)), min_size=1, max_size=15
+    ),
+    probes=st.lists(st.integers(0, 220), min_size=1, max_size=30),
+    w=st.sampled_from([7, 60]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_brute_force_model(spark, ivs, probes, w):
+    """Bucketed range join equals the brute-force point-in-interval model
+    on random integer-second data — start inclusive, end exclusive,
+    zero-length intervals empty — including a bucket width (7 s) that
+    divides nothing, so interval endpoints and probes land on and around
+    truncated-bucket edges in every configuration."""
+    import datetime as dt
+
+    from flink_streaming_twitter_spark.operators.rangejoin import range_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s: int) -> dt.datetime:
+        return base + dt.timedelta(seconds=s)
+
+    iv_rows = [(i, t(min(a, b)), t(max(a, b))) for i, (a, b) in enumerate(ivs)]
+    pr_rows = [(100 + i, t(s)) for i, s in enumerate(probes)]
+    iv = spark.createDataFrame(iv_rows, "iv_id long, s timestamp, e timestamp")
+    pr = spark.createDataFrame(pr_rows, "p_id long, ts timestamp")
+    got = {(r.p_id, r.iv_id) for r in range_join(pr, iv, "ts", "s", "e", w).collect()}
+    expected = {
+        (pid, iid)
+        for pid, ts in pr_rows
+        for iid, s, e in iv_rows
+        if s <= ts < e
+    }
+    assert got == expected
