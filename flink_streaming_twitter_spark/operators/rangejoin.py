@@ -23,6 +23,18 @@ so the decomposition emits no duplicates and needs no distinct. The
 shuffle is on bucket id: time-uniform data spreads evenly, and a hot
 bucket (flash-crowd second) can reuse operators/skew.py salting since
 the join is now a plain equi-join.
+
+Bucket-id arithmetic notes (why `(unix_micros/W).cast("long")` is safe):
+the cast truncates rather than floors, but truncation is monotone, so
+for any probe p in [start, end] its bucket always lies inside the
+interval's replicated bucket range — no false negatives even where
+truncation and floor disagree (negative epochs). And the double
+division cannot truncate across a bucket edge: the quotient's rounding
+error is at most ulp(q) = q·2⁻⁵², while a non-boundary quotient sits at
+least 1/W from the edge, so the error/gap ratio is q·2⁻⁵²·W =
+unix_micros·2⁻⁵² < 1 for any timestamp before ~year 2112. The exact
+range predicate re-check after the equi-join removes every false
+positive regardless.
 """
 
 from __future__ import annotations
