@@ -59,9 +59,12 @@ PASSES = 2
 
 
 def build_scale100(spark) -> None:
-    if os.path.exists(os.path.join(DST, "documents.parquet")) and os.path.exists(
-        os.path.join(DST, "events.parquet")
-    ):
+    # _SUCCESS (Spark's job-commit marker) rather than bare dir existence:
+    # a partial directory from an interrupted run must trigger the
+    # overwrite rebuild, not be silently reused (round-5 advice).
+    if os.path.exists(
+        os.path.join(DST, "documents.parquet", "_SUCCESS")
+    ) and os.path.exists(os.path.join(DST, "events.parquet", "_SUCCESS")):
         return
     os.makedirs(DST, exist_ok=True)
     # replicate via explode(sequence(...)) — one narrow pass, no
