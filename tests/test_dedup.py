@@ -79,3 +79,48 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] == 0  # same token set after lowering
     assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard_blocked_decomposition_matches_global(spark):
+    """An exact PPJoin over groups with DISJOINT shingle sets equals the
+    union of per-group exact joins — the decomposition
+    tools/scale_bench_r6.py uses to measure the x100 t=0.5 denominator
+    after the global join proved disk-bound (a pair with Jaccard > 0
+    must share a shingle, so verified shingle-disjoint blocks cannot
+    interact). Salting mirrors make_scale10: a per-group token inside
+    every 3-shingle makes cross-group shingle sets disjoint; per-block
+    document frequencies reorder the prefix heuristic, so this also
+    re-pins that prefix filtering is lossless under ANY df order."""
+    from pyspark.sql import functions as F
+
+    base = [t for _, t in DOCS]
+    rows = []
+    for g in range(3):  # 3 "replicas", ids g*100 + i
+        for i, t in enumerate(base):
+            words = t.split()
+            salted = []
+            for w_idx in range(0, len(words) - 1, 2):
+                salted += [words[w_idx], words[w_idx + 1], f"z{g}"]
+            if len(words) % 2:
+                salted.append(words[-1])
+            rows.append((g * 100 + i, " ".join(salted)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    global_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=3).collect()
+    }
+    blocked_pairs = set()
+    for g in range(3):
+        blocked_pairs |= {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs.filter((F.col("doc_id") >= g * 100) & (F.col("doc_id") < (g + 1) * 100)),
+                threshold=0.5,
+                shingle_k=3,
+            ).collect()
+        }
+    assert global_pairs == blocked_pairs
+    # every pair is within-group, and each group found its near-dups
+    assert global_pairs and all(a // 100 == b // 100 for a, b, _ in global_pairs)
+    assert len(global_pairs) % 3 == 0  # isomorphic groups -> identical pair sets
