@@ -272,6 +272,15 @@ def ngram_jaccard_pairs(
     set table shuffle-join (no broadcast assumption — both scale with the
     corpus, though AQE will broadcast them when they happen to be small);
     AQE skew-join covers any residual hot shingle.
+
+    Hash width: shingles are 31-bit md5 hashes (md5_int31) so the DuckDB
+    oracle reproduces them. That width is a TEST-SCALE choice: past
+    ~2^15.5 distinct shingles the 2^31 space enters the birthday regime
+    (measured at the ×100 stress corpus: ~3e5 distinct shingles → ~20
+    colliding hash values, tools/scale_bench_r6.py), and spurious
+    intersections inflate a pair's Jaccard by ~sz_a·sz_b/2^31. At real
+    corpus scale switch the shingle hash to md5_int60 (functions/
+    hashing.py — already what SimHash uses); the join shape is unchanged.
     """
     # the packed sets feed the inverted index and both verification sides
     sets = doc_shingle_sets(docs, k=shingle_k).persist()
