@@ -51,13 +51,21 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def word_shingle_hashes(text: Column, k: int = 3) -> Column:
-    """31-bit md5-derived hash per k-word shingle, as one row-wise array —
-    the shuffle-free building block for dedup sketches (the hash matches
-    functions.hashing.md5_int31 so DuckDB oracles reproduce it)."""
-    from .hashing import md5_int31
+def word_shingle_hashes(text: Column, k: int = 3, bits: int = 31) -> Column:
+    """md5-derived hash per k-word shingle, as one row-wise array — the
+    shuffle-free building block for dedup sketches (the hashes match
+    functions.hashing.md5_int31 / md5_int60 so DuckDB oracles reproduce
+    them). ``bits=31`` is the default because MinHash's mod-p universal
+    hashing needs multiplicands below 2^31 (no int64 overflow) and the
+    oracles pin it; ``bits=60`` is for the EXACT-Jaccard path at real
+    corpus scale, where distinct-shingle counts cross the 2^31 birthday
+    regime (measured: ~20 collisions at 3e5 shingles, SCALE.md r6)."""
+    from .hashing import md5_int31, md5_int60
 
-    return F.transform(word_shingles(text, k), md5_int31)
+    if bits not in (31, 60):
+        raise ValueError(f"bits must be 31 or 60, got {bits}")
+    hash_fn = md5_int31 if bits == 31 else md5_int60
+    return F.transform(word_shingles(text, k), hash_fn)
 
 
 def stopword_count(token_array: Column) -> Column:

@@ -63,7 +63,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_shingle_sets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hash_bits: int = 31,
 ) -> DataFrame:
     """(doc_id, shs ARRAY<LONG>, sz) — each document's DISTINCT shingle-hash
     set as a packed array, computed entirely ROW-WISE
@@ -77,8 +81,12 @@ def doc_shingle_sets(
     tokenize+hash work spreads across the cluster even when the scan has
     few splits (a single small parquet file would otherwise pin everything
     to one task; at 100 TB the same shuffle prevents straggler partitions
-    and moves only the raw (id, text) bytes once)."""
-    shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k))
+    and moves only the raw (id, text) bytes once).
+
+    ``hash_bits``: 31 (default — MinHash's universal-hash multiplicand
+    bound and the oracle-pinned width) or 60 (the exact-Jaccard deploy
+    width past the 2^31 birthday regime; see ngram_jaccard_pairs)."""
+    shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k, bits=hash_bits))
     return (
         _spread(docs, id_col)
         .filter(F.col(text_col).isNotNull())
@@ -246,6 +254,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    hash_bits: int = 31,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold over k-word shingle sets:
     (doc_a, doc_b, jaccard). Complete — no false negatives.
@@ -273,17 +282,21 @@ def ngram_jaccard_pairs(
     corpus, though AQE will broadcast them when they happen to be small);
     AQE skew-join covers any residual hot shingle.
 
-    Hash width: shingles are 31-bit md5 hashes (md5_int31) so the DuckDB
-    oracle reproduces them. That width is a TEST-SCALE choice: past
-    ~2^15.5 distinct shingles the 2^31 space enters the birthday regime
-    (measured at the ×100 stress corpus: ~3e5 distinct shingles → ~20
-    colliding hash values, tools/scale_bench_r6.py), and spurious
-    intersections inflate a pair's Jaccard by ~sz_a·sz_b/2^31. At real
-    corpus scale switch the shingle hash to md5_int60 (functions/
-    hashing.py — already what SimHash uses); the join shape is unchanged.
+    Hash width (``hash_bits``): shingles default to 31-bit md5 hashes
+    (md5_int31) so the DuckDB oracle reproduces them. That width is a
+    TEST-SCALE choice: past ~2^15.5 distinct shingles the 2^31 space
+    enters the birthday regime (measured at the ×100 stress corpus:
+    ~3e5 distinct shingles → 22 colliding hash values,
+    tools/scale_bench_r6.py), and a spurious shared hash inflates a
+    pair's Jaccard. Pass ``hash_bits=60`` at real corpus scale
+    (md5_int60 — already SimHash's width; the join shape is unchanged,
+    and tests pin that a 31-bit-colliding pair disappears at 60 bits).
+    MinHash cannot take this knob — its mod-p universal hashing needs
+    multiplicands below 2^31 — which is fine: LSH banding tolerates
+    collisions by design; exactness is what cannot.
     """
     # the packed sets feed the inverted index and both verification sides
-    sets = doc_shingle_sets(docs, k=shingle_k).persist()
+    sets = doc_shingle_sets(docs, k=shingle_k, hash_bits=hash_bits).persist()
     ex = sets.select("doc_id", "sz", F.explode("shs").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 

@@ -124,3 +124,32 @@ def test_ngram_jaccard_blocked_decomposition_matches_global(spark):
     # every pair is within-group, and each group found its near-dups
     assert global_pairs and all(a // 100 == b // 100 for a, b, _ in global_pairs)
     assert len(global_pairs) % 3 == 0  # isomorphic groups -> identical pair sets
+
+
+def test_hash_bits_60_eliminates_31bit_collision_false_positive(spark):
+    """'tok402 tok402 tok402' and 'tok78442 tok78442 tok78442' are a REAL
+    md5_int31 collision (both hash to 131683038; found by birthday search
+    — the same regime the x100 probe measured: 22 collisions at ~3e5
+    shingles). As single-shingle documents they are a Jaccard-1.0 "pair"
+    under 31-bit hashing and share NOTHING under 60-bit — the exact
+    operator's hash_bits=60 deploy setting removes the false positive
+    while keeping genuine near-dups."""
+    docs = spark.createDataFrame(
+        [
+            (0, "tok402 tok402 tok402"),
+            (1, "tok78442 tok78442 tok78442"),  # 31-bit collider with doc 0
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the sleepy dog"),  # true near-dup
+        ],
+        ["doc_id", "text"],
+    )
+    pairs31 = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pairs60 = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, hash_bits=60).collect()
+    }
+    assert (0, 1) in pairs31  # the collision-induced false positive
+    assert (0, 1) not in pairs60  # gone at deploy width
+    assert (2, 3) in pairs31 and (2, 3) in pairs60  # real pair kept by both
