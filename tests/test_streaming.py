@@ -924,3 +924,131 @@ def test_stream_dedup_reemits_after_watermark_eviction(spark):
         assert kinds == ["a", "a", "b", "flush", "flush2"], kinds
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_streaming_restart_recovers_state_exactly_once(spark, provider):
+    """Checkpoint recovery — the Structured Streaming guarantee a 100 TB
+    deployment actually rides (executors die; queries restart) that the
+    availableNow drains alone never exercise. An append-mode windowed
+    aggregation is stopped after two of three files and RESTARTED from
+    its checkpoint on the third:
+
+    - the union of pre- and post-restart emissions must equal an
+      uninterrupted run over the same three files (state + watermark +
+      file-source offsets all survive the restart),
+    - the two phases must not overlap (exactly-once emission across the
+      restart: nothing re-emits, nothing is lost),
+    - and windows whose events ALL arrived before the restart must emit
+      AFTER it (w_end <= the restart boundary yet absent from phase 1)
+      — proving they were finalized out of RECOVERED state, since the
+      file-source log skips the already-processed files on restart.
+
+    Parametrized over both state-store providers: the default HDFS-backed
+    store and RocksDB with changelog checkpointing (per-batch delta
+    uploads) — the provider SCALE.md designates for real state volumes.
+    """
+    rows = [
+        (BASE + dt.timedelta(seconds=s), "abc"[s % 3])
+        for s in range(0, 300, 7)
+    ]
+    rows.sort(key=lambda r: r[0])
+    thirds = [rows[:15], rows[15:30], rows[30:]]
+
+    def write_files(d, parts, start=0):
+        # FLAT single parquet files (the file source does not admit
+        # nested .parquet directories), mtimes pin admission order —
+        # same layout the gate drain harness uses
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array([r[0] for r in part], pa.timestamp("us")),
+                    "event_type": pa.array([r[1] for r in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        # foreachBatch, not the memory sink: memory refuses to recover
+        # from an existing checkpoint, and foreachBatch is the recovery-
+        # capable collector production restarts actually use
+        out: set = set()
+
+        def collect(batch_df, _bid):
+            out.update(
+                (r.w_start, r.w_end, r.event_type, r.cnt) for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="40 seconds")
+        plan = pipe.windowed_counts(size="20 seconds", slide="20 seconds")
+        q = start_query(
+            plan,
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"restart_{provider}_")
+    try:
+        import os
+
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, thirds)
+        reference = drain(ref_dir, f"rc_ref_{provider}", f"{work}/cp_ref")
+        assert reference  # windows finalized under the 40 s watermark
+
+        write_files(rec_dir, thirds[:2])
+        p1 = drain(rec_dir, f"rc_p1_{provider}", f"{work}/cp_rec")
+        # add the third file (later mtime) and RESTART from the same
+        # checkpoint — a fresh query object, recovered offsets + state;
+        # the source log already tracks f00/f01, so only f02 is new work
+        write_files(rec_dir, [thirds[2]], start=2)
+        p2 = drain(rec_dir, f"rc_p2_{provider}", f"{work}/cp_rec")
+
+        assert p1 and p2
+        assert p1 | p2 == reference  # nothing lost across the restart
+        assert not (p1 & p2)  # nothing re-emitted across the restart
+        # cross-restart state: windows built ENTIRELY before the restart
+        # (w_end <= the boundary between file 1 and file 2) that phase 1's
+        # watermark had not yet finalized must surface in phase 2
+        boundary = int(thirds[2][0][0].timestamp())
+        held_over = {r for r in p2 if r[1] <= boundary}
+        assert held_over, "no window crossed the restart in recovered state"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
