@@ -1052,3 +1052,112 @@ def test_streaming_restart_recovers_state_exactly_once(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_session_window_merges_across_restart(spark, provider):
+    """Session-window state has a different layout than windowed aggs
+    (per-key session ranges that MERGE), so restart recovery gets its
+    own pin: a session with events on BOTH sides of the restart — last
+    pre-restart event at t=225, first post-restart at t=233, within the
+    15 s gap — must finalize as ONE merged session with the combined
+    count, which requires the restarted query to have recovered the
+    open session [220, 225] from the checkpoint. Also: the phases
+    partition an uninterrupted run exactly (nothing lost, nothing
+    re-emitted), and the trailing still-open session never emits in
+    either run."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = [
+        [0, 5, 10, 40, 45, 80, 85, 90, 95],
+        [130, 135, 170, 175, 180, 220, 225],
+        [233, 238, 270, 275],
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s in part],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array(["a"] * len(part)),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        out: set = set()
+
+        def collect(batch_df, _bid):
+            out.update(
+                (r.event_type, r.session_start, r.session_last, r.n_events)
+                for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="20 seconds")
+        q = start_query(
+            pipe.session_counts(gap="15 seconds"),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"sess_restart_{provider}_")
+    epoch = int(BASE.timestamp())
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, files)
+        reference = drain(ref_dir, f"sr_ref_{provider}", f"{work}/cp_ref")
+
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, f"sr_p1_{provider}", f"{work}/cp_rec")
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, f"sr_p2_{provider}", f"{work}/cp_rec")
+
+        assert p1 | p2 == reference and not (p1 & p2)
+        # the session that straddles the restart: [220, 225] recovered
+        # from checkpoint state, merged with [233, 238], one emission
+        assert ("a", epoch + 220, epoch + 238, 4) in p2
+        # the trailing session [270, 275] is still open at the final
+        # watermark (255) in BOTH runs — never emitted, consistently
+        assert not any(r[1] == epoch + 270 for r in reference | p1 | p2)
+        # phase 1 finalized everything it could (all five early sessions)
+        assert len(p1) == 5
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
