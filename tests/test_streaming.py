@@ -1161,3 +1161,123 @@ def test_session_window_merges_across_restart(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_interval_join_buffers_across_restart(spark, provider):
+    """Stream-stream join state is the third distinct state layout
+    (buffered input rows on both legs, evicted by the opposite side's
+    watermark + range bound): a view buffered BEFORE the restart must
+    pair with a click arriving AFTER it — the restarted query can only
+    produce that pair from checkpoint-recovered join state, since the
+    file-source log never re-reads the view's file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = [
+        [(0, "u1", "view"), (2, "u1", "click"), (40, "u2", "view")],
+        [(60, "u2", "click"), (100, "u1", "view")],  # view buffered at restart
+        [(103, "u1", "click"), (120, "u3", "click")],  # click pairs post-restart
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s, _u, _e in part],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([u for _s, u, _e in part]),
+                    "event_type": pa.array([e for _s, _u, e in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def drain(src_dir, view, cp):
+        out: set = set()
+
+        def collect(batch_df, _bid):
+            out.update(
+                (r.user_id, int(r.view_ts.timestamp()), int(r.click_ts.timestamp()))
+                for r in batch_df.collect()
+            )
+
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        q = start_query(
+            stream_interval_join(
+                views, clicks, ["user_id"], "view_ts", "click_ts", 5, "10 seconds"
+            ),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"join_restart_{provider}_")
+    epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, files)
+        reference = drain(ref_dir, f"jr_ref_{provider}", f"{work}/cp_ref")
+
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, f"jr_p1_{provider}", f"{work}/cp_rec")
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, f"jr_p2_{provider}", f"{work}/cp_rec")
+
+        assert p1 | p2 == reference and not (p1 & p2)
+        assert ("u1", epoch + 0, epoch + 2) in p1  # matched pre-restart
+        # the recovery pair: view buffered before the restart, click after
+        assert ("u1", epoch + 100, epoch + 103) in p2
+        assert reference == {
+            ("u1", epoch + 0, epoch + 2),
+            ("u1", epoch + 100, epoch + 103),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
