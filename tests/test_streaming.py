@@ -1281,3 +1281,108 @@ def test_interval_join_buffers_across_restart(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+def test_keep_first_dedup_state_survives_restart(spark):
+    """Fourth state layout in the restart-recovery suite: CUSTOM value
+    state (state API v2, transformWithStateInPandas, RocksDB-only).
+    Keys first seen before the restart reappear after it and must stay
+    swallowed — only checkpoint-recovered value state can know them —
+    while a genuinely new post-restart key emits normally."""
+    # same container constraint as test_transform_with_state_dedup_keep_first:
+    # transformWithState's Python runner speaks protobuf to the JVM
+    pytest.importorskip("google.protobuf")
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_twitter_spark.streaming.stateful import (
+        streaming_dedup_keep_first,
+    )
+
+    files = [
+        [(0, "k1"), (2, "k2"), (3, "k1")],
+        [(10, "k1"), (12, "k3")],
+        [(20, "k1"), (22, "k2"), (25, "k4")],  # k1/k2 recur post-restart
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s, _k in part],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array([k for _s, k in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        out: list = []
+
+        def collect(batch_df, _bid):
+            out.extend(
+                (r.dedup_key, r.first_ts, r.batch_dups) for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = start_query(
+            streaming_dedup_keep_first(stream, "event_type"),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store="rocksdb",  # hard requirement of transformWithState
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix="twsr_")
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, files)
+        reference = drain(ref_dir, "tws_ref", f"{work}/cp_ref")
+
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, "tws_p1", f"{work}/cp_rec")
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, "tws_p2", f"{work}/cp_rec")
+
+        assert sorted(p1 + p2) == sorted(reference)
+        assert {k for k, _t, _d in p1} == {"k1", "k2", "k3"}
+        # k1 and k2 recur in the post-restart file but stay swallowed —
+        # only recovered value state can suppress them; k4 is new
+        assert {k for k, _t, _d in p2} == {"k4"}
+        # each key emitted exactly once across the whole restarted run
+        assert len(p1 + p2) == 4
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
