@@ -1386,3 +1386,104 @@ def test_keep_first_dedup_state_survives_restart(spark):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_dedup_within_watermark_state_survives_restart(spark, provider):
+    """Fifth and final state layout in the restart-recovery suite: the
+    built-in dropDuplicatesWithinWatermark key store. A key first
+    emitted before the restart recurs after it, still inside the
+    watermark horizon — the restarted query must swallow it out of
+    recovered dedup state; a new post-restart key emits once."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # watermark 60 s horizon; key "a" recurs at t=70 (within 60 s of its
+    # state's expiry-watermark) post-restart, key "c" is new
+    files = [
+        [(0, "a"), (5, "b")],
+        [(40, "a"), (45, "b")],  # duplicates swallowed pre-restart
+        [(70, "a"), (75, "c")],  # "a" recurs post-restart; "c" is new
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s, _k in part],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array([k for _s, k in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        out: list = []
+
+        def collect(batch_df, _bid):
+            out.extend(
+                (r.event_type, int(r.ts.timestamp())) for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="60 seconds")
+        q = start_query(
+            pipe.dedup_within_watermark(["event_type"]),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"ddwr_{provider}_")
+    epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, files)
+        reference = drain(ref_dir, f"dd_ref_{provider}", f"{work}/cp_ref")
+
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, f"dd_p1_{provider}", f"{work}/cp_rec")
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, f"dd_p2_{provider}", f"{work}/cp_rec")
+
+        assert sorted(p1 + p2) == sorted(reference)
+        assert sorted(k for k, _t in p1) == ["a", "b"]
+        # "a" at t=70 recurs inside the horizon of its recovered state
+        # entry — swallowed; only the genuinely new key emits
+        assert [(k, t) for k, t in p2] == [("c", epoch + 75)]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
