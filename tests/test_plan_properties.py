@@ -96,3 +96,64 @@ def test_salted_quota_cap_plans_two_phases(plans):
     # at least one hashpartitioning clause carries the internal salt
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert any("__salt" in frag and "source" in frag for frag in parts), parts
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """The third AQE feature the session enables (runtime join re-plan)
+    — pinned end-to-end with the two-threshold design Spark ships for
+    exactly this: the STATIC threshold is dropped to 1 KB so planning
+    picks SortMergeJoin, while the ADAPTIVE threshold
+    (spark.sql.adaptive.autoBroadcastJoinThreshold — applied to runtime
+    map-output sizes) stays 10 MB, so the filtered right side (50 rows
+    at runtime; 200 k statically) converts the join to
+    BroadcastHashJoin mid-query, with correct results. This is the
+    mechanism that saves the dimension-join shuffle at 100 TB whenever
+    a filter or aggregate collapses a side below the broadcast
+    threshold in ways static stats cannot see."""
+    from pyspark.sql import functions as F
+
+    saved = {}
+    for k in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        saved[k] = spark.conf.get(k, None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        left = spark.range(50_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("lv")
+        )
+        right = (
+            spark.range(200_000)
+            .select((F.col("id") % 100).alias("k"), F.col("id").alias("rv"))
+            .filter(F.col("rv") % 4001 == 0)  # 50 rows at runtime
+        )
+        j = left.join(right, "k")
+
+        initial = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=false" in initial
+        assert "SortMergeJoin" in initial and "BroadcastHashJoin" not in initial
+
+        rows = j.collect()
+        # 50 right rows, k = i % 100 for i in 0..49 -> 50 distinct keys,
+        # 500 left rows per key
+        assert len(rows) == 25_000
+
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        # the adaptive toString appends the initial plan after the final
+        # one — judge only the final section
+        final_section = final.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final_section
+        assert "SortMergeJoin" not in final_section
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
