@@ -1487,3 +1487,111 @@ def test_dedup_within_watermark_state_survives_restart(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_chained_two_stage_trending_recovers_across_restart(spark, provider):
+    """Sixth restart pin: the natively CHAINED two-aggregation query —
+    two stateful operators whose stores must recover coherently under
+    ONE watermark. The restart lands while the stage-1 windows over the
+    latest events (t=40..44) are still open; after it, a flush event
+    advances the watermark so those windows — counts accumulated
+    entirely PRE-restart, finalized and argmax'd entirely POST-restart
+    — flow through both recovered stages. The flush event's own windows
+    stay open forever, so every post-restart emission is recovered-state
+    work."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = [
+        [(0, "a"), (1, "a"), (2, "b"), (6, "a"), (7, "b"), (8, "b"), (11, "a")],
+        [(40, "b"), (41, "b"), (44, "a")],  # windows open at restart
+        [(100, "zz_flush")],  # advances the watermark post-restart
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s, _k in part],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array([k for _s, k in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        out: set = set()
+
+        def collect(batch_df, _bid):
+            out.update(
+                (r.sample_w_start, r.top_event_type, r.top_cnt)
+                for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="20 seconds")
+        q = start_query(
+            pipe.trending_two_stage_append("10 seconds", "5 seconds", 1, 5),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return out
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"chain_restart_{provider}_")
+    epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, files)
+        reference = drain(ref_dir, f"ch_ref_{provider}", f"{work}/cp_ref")
+
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, f"ch_p1_{provider}", f"{work}/cp_rec")
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, f"ch_p2_{provider}", f"{work}/cp_rec")
+
+        assert p1 | p2 == reference and not (p1 & p2)
+        assert p1 and p2
+        # every post-restart emission derives from PRE-restart events:
+        # the t=40..44 windows (sample starts <= 60); the flush event's
+        # own windows never finalize
+        assert all(s <= epoch + 60 for s, _k, _c in p2)
+        # the window covering t=35..45 finalized post-restart out of
+        # recovered stage-1 counts: b=2 (40,41) beats a=1 (44)
+        assert (epoch + 45, "b", 2) in p2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
