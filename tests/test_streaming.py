@@ -1595,3 +1595,83 @@ def test_chained_two_stage_trending_recovers_across_restart(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+def test_running_total_continues_from_recovered_sum_after_restart(spark):
+    """Q-C's own recovery semantic (update-mode ungrouped aggregation —
+    the reference's global running sum): after a restart, the query must
+    CONTINUE from the recovered total, not restart from zero. Phase 1
+    drains 7 events (last emission: total=7); the restarted query reads
+    only the new 3-event file and its final emission must be 10 — a
+    number producible only by adding the new events to checkpoint-
+    recovered aggregate state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = [
+        [0, 1, 2, 6],
+        [7, 8, 11],
+        [20, 21, 25],
+    ]
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array(
+                        [BASE + dt.timedelta(seconds=s) for s in part],
+                        pa.timestamp("us"),
+                    ),
+                    "event_type": pa.array(["a"] * len(part)),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp):
+        totals: list = []
+
+        def collect(batch_df, _bid):
+            rows = batch_df.collect()
+            if rows:
+                totals.append(rows[0].total)
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        q = start_query(
+            pipe.running_total(),
+            name=view,
+            output_mode="update",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=collect,
+        )
+        assert q.awaitTermination(300), f"{view}: drain timed out"
+        return totals
+
+    work = tempfile.mkdtemp(prefix="rt_restart_")
+    try:
+        import os
+
+        rec_dir = f"{work}/rec"
+        os.makedirs(rec_dir)
+        write_files(rec_dir, files[:2])
+        p1 = drain(rec_dir, "rt_p1", f"{work}/cp")
+        assert p1[-1] == 7  # running total after the first two files
+        write_files(rec_dir, [files[2]], start=2)
+        p2 = drain(rec_dir, "rt_p2", f"{work}/cp")
+        # the restarted query saw only 3 new events; every emission being
+        # 10 (never 3) requires the recovered sum (the availableNow
+        # no-data finalization batch may re-emit the same total)
+        assert p2 and all(t == 10 for t in p2)
+        # monotone non-decreasing across the whole restarted lifetime
+        assert (p1 + p2) == sorted(p1 + p2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
