@@ -1130,7 +1130,10 @@ def test_session_window_merges_across_restart(spark, provider):
         except Exception:
             saved[c] = None
     work = tempfile.mkdtemp(prefix=f"sess_restart_{provider}_")
-    epoch = int(BASE.timestamp())
+    # UTC-pinned like every other epoch in this suite: the naive parquet
+    # timestamps are wall-clock values that Spark interprets in the session
+    # timezone (UTC, session.py), so the host TZ must not leak in.
+    epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
     try:
         ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
         os.makedirs(ref_dir), os.makedirs(rec_dir)
