@@ -44,6 +44,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_jaccard_60bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY configuration of exact n-gram Jaccard: identical join
+    shape to dedup_ngram_jaccard but 60-bit shingle hashes (md5_int60),
+    the width a real corpus needs once distinct-shingle counts cross the
+    2^31 birthday regime (measured: 22 spurious hash collisions at ~3e5
+    shingles on the ×100 stress corpus, SCALE.md r6). Registered as its
+    own gate entry so the deploy width is oracle-verified, not only
+    unit-pinned."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=P.JACCARD_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+        hash_bits=60,
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=P.SIMHASH_MAX_HAMMING
@@ -131,6 +147,7 @@ DEDUP_QUERIES = {
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_60bit": dedup_ngram_jaccard_60bit,
     "dedup_lsh_exact": dedup_lsh_exact,
     "dedup_simhash": dedup_simhash,
 }
@@ -138,18 +155,29 @@ DEDUP_QUERIES = {
 # ---------------------------------------------------------------- oracles
 
 # Shared SQL fragments (identical semantics to the Spark operators).
-_SHINGLES = f"""
+
+
+def _shingles_sql(bits: int = 31) -> str:
+    """Distinct (doc_id, sh) shingle hashes — md5-derived exactly like
+    functions.hashing: 60 bits = first 15 md5 hex digits as int64;
+    31 bits = the same value mod 2^31 (MinHash's multiplicand bound).
+    ``bits=60`` is the exact-Jaccard deploy width (past the 2^31
+    birthday regime — SCALE.md r6)."""
+    mod = "\n      % 2147483648" if bits == 31 else ""
+    return f"""
 toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk FROM documents
 ),
 shingles AS (
   SELECT DISTINCT doc_id,
-    ('0x' || substr(md5(array_to_string(list_slice(tk, i, i + {P.SHINGLE_K - 1}), ' ')), 1, 15))::BIGINT
-      % 2147483648 AS sh
+    ('0x' || substr(md5(array_to_string(list_slice(tk, i, i + {P.SHINGLE_K - 1}), ' ')), 1, 15))::BIGINT{mod} AS sh
   FROM toks, LATERAL (
     SELECT unnest(range(1, greatest(len(tk) - {P.SHINGLE_K - 1}, 1) + 1)) AS i) g
 )
 """
+
+
+_SHINGLES = _shingles_sql(31)
 
 DEDUP_EXACT_SQL = """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_key,
@@ -197,8 +225,9 @@ WHERE ({eq_sum}) / {float(n)} >= {P.MINHASH_EST_THRESHOLD}
 """
 
 
-NGRAM_JACCARD_SQL = f"""
-WITH {_SHINGLES},
+def _ngram_jaccard_sql(bits: int = 31) -> str:
+    return f"""
+WITH {_shingles_sql(bits)},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 cands AS (
   -- the oracle uses the unpruned inverted index (any shared shingle);
@@ -356,7 +385,8 @@ def dedup_oracles() -> dict[str, str]:
         # reproduce plain propagation's answer exactly
         "dedup_clusters_star": _clusters_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
-        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(31),
+        "dedup_ngram_jaccard_60bit": _ngram_jaccard_sql(60),
         "dedup_lsh_exact": _lsh_exact_sql(),
         "dedup_simhash": _simhash_sql(),
     }
