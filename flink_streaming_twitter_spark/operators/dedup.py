@@ -32,6 +32,20 @@ from ..functions.text import tokens, word_shingle_hashes
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
 
+# Default cap on MinHash-LSH band-bucket occupancy (cap_bucket_size).
+# Measured occupancy on the gate corpora is tiny — max 4 docs/bucket at
+# sf0.1, 3 at sf0.01 (19k/1.9k buckets; see SCALE.md) — so 1024 is ~250×
+# headroom above any genuine near-dup bucket while bounding the worst
+# boilerplate bucket's contribution to ~520k candidate pairs instead of
+# quadratic blowup. Docs dropped this way are site chrome / license
+# boilerplate and belong to the exact-dedup track (they are near-identical
+# by construction). SimHash deliberately does NOT get this default: its
+# 15-bit band keys make heavy occupancy structural (sf0.1 max 1582), and
+# its per-candidate verify is a single xor+bit_count, not a set
+# intersection — capping there silently loses true Hamming<=3 pairs, so
+# it stays opt-in via the max_bucket parameter.
+DEFAULT_LSH_MAX_BUCKET = 1024
+
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition with an EXPLICIT partition count (defaultParallelism)
@@ -119,22 +133,17 @@ def minhash_signatures(sets: DataFrame, num_perm: int, id_col: str = "doc_id") -
     return sig.withColumn("mhs", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]))
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     num_perm: int,
     bands: int,
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Band the signature, bucket-join per band → distinct (doc_a, doc_b).
-
-    Banding uses explode over an array of (band, concatenated row hashes)
-    structs — one narrow pass; the self-join shuffles on (band, sig)
-    buckets, so cost tracks bucket occupancy. At 100 TB a hot bucket (all
-    boilerplate docs) would skew the join; AQE skew-join splits it, and a
-    df-style cap on bucket size (ignore buckets > N docs, they're
-    boilerplate, handle separately) is the documented escape hatch.
-    """
+    """(id, [carry...], band, sig) — one row per (doc, band), where sig is
+    the concatenated row hashes of that band. One narrow explode pass;
+    shared by the candidate join and by tests that need to reason about
+    bucket occupancy without re-deriving the band layout."""
     rows = num_perm // bands
     band_structs = F.array(
         *[
@@ -145,9 +154,31 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    return signatures.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(band_structs).alias("bs")
+    ).select(id_col, *carry, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_perm: int,
+    bands: int,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Band the signature, bucket-join per band → distinct (doc_a, doc_b).
+
+    Banding uses explode over an array of (band, concatenated row hashes)
+    structs — one narrow pass; the self-join shuffles on (band, sig)
+    buckets, so cost tracks bucket occupancy. At 100 TB a hot bucket (all
+    boilerplate docs) would skew the join; AQE skew-join splits the
+    shuffle, and buckets larger than ``max_bucket`` (default
+    DEFAULT_LSH_MAX_BUCKET — measured ~250× above genuine near-dup
+    occupancy) are dropped before the quadratic join; route their members
+    through the exact-dedup track instead. ``oversized_buckets`` reports
+    exactly what a cap drops; ``None`` disables.
+    """
+    banded = banded_signatures(signatures, num_perm, bands, id_col)
     banded = cap_bucket_size(banded, ["band", "sig"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -168,6 +199,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     est_threshold: float = 0.5,
     shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs with estimated Jaccard (fraction of equal
     minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard)."""
@@ -178,19 +210,8 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(doc_shingle_sets(docs, k=shingle_k), num_perm).persist()
     # Carry the packed signature array through the band self-join so the
     # estimated Jaccard needs NO extra signature joins.
-    rows = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", "mhs", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "mhs", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    banded = banded_signatures(sigs, num_perm, bands, carry=("mhs",))
+    banded = cap_bucket_size(banded, ["band", "sig"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     n_eq = F.size(
         F.filter(F.zip_with(F.col("a.mhs"), F.col("b.mhs"), lambda x, y: x == y), lambda v: v)
@@ -218,6 +239,7 @@ def lsh_verified_jaccard(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """The two-tier 100 TB near-dup pipeline: MinHash-LSH candidate
     generation (cost ∝ band-bucket occupancy) followed by EXACT Jaccard
@@ -237,7 +259,7 @@ def lsh_verified_jaccard(
     """
     sets = doc_shingle_sets(docs, k=shingle_k).persist()
     sigs = minhash_signatures(sets, num_perm)
-    cands = lsh_candidate_pairs(sigs, num_perm, bands)
+    cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket)
     seta = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a"))
     setb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
@@ -388,6 +410,21 @@ def cap_bucket_size(
         .drop("_bn")
     )
     return banded.join(small, bucket_cols, "left_semi")
+
+
+def oversized_buckets(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Drop-accounting companion to cap_bucket_size: the bucket keys a cap
+    of ``max_bucket`` would remove, with their occupancy (the pair loss of
+    a bucket of n is at most n(n-1)/2). Run this against the same banded
+    input to log exactly what the cap dropped — at deploy scale, sink this
+    to the pipeline's metrics table alongside the dedup output."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+        .filter(F.col("occupancy") > max_bucket)
+    )
 
 
 def simhash_near_pairs(

@@ -153,3 +153,64 @@ def test_hash_bits_60_eliminates_31bit_collision_false_positive(spark):
     assert (0, 1) in pairs31  # the collision-induced false positive
     assert (0, 1) not in pairs60  # gone at deploy width
     assert (2, 3) in pairs31 and (2, 3) in pairs60  # real pair kept by both
+
+def test_lsh_default_cap_loses_only_oversized_bucket_pairs(spark):
+    """The DEFAULT_LSH_MAX_BUCKET wiring, pinned as a complete
+    characterization rather than an example: with a cap, the surviving
+    candidate set is EXACTLY the pairs that share at least one
+    non-oversized band bucket — i.e. the only pairs lost are those whose
+    every collision happened inside a capped (boilerplate) bucket.
+    Corpus: 12 identical boilerplate docs (one hot bucket per band,
+    occupancy 12 > cap 8) plus the known near-dup corpus (bucket
+    occupancy <= 3)."""
+    import itertools
+
+    from flink_streaming_twitter_spark.operators.dedup import (
+        banded_signatures,
+        doc_shingle_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_buckets,
+    )
+    from flink_streaming_twitter_spark.plans import params as P
+
+    cap = 8
+    boiler = [(100 + i, "copyright acme corp all rights reserved terms apply") for i in range(12)]
+    docs = spark.createDataFrame(DOCS + boiler, ["doc_id", "text"])
+    sigs = minhash_signatures(
+        doc_shingle_sets(docs, k=P.SHINGLE_K), P.MINHASH_PERMS
+    ).persist()
+    banded = banded_signatures(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS)
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS, max_bucket=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS, max_bucket=cap).collect()
+    }
+
+    # ground truth from the banded table itself: bucket -> member ids
+    buckets: dict = {}
+    for r in banded.collect():
+        buckets.setdefault((r.band, r.sig), []).append(r.doc_id)
+    small_bucket_pairs = {
+        (a, b)
+        for members in buckets.values()
+        if len(members) <= cap
+        for a, b in itertools.combinations(sorted(members), 2)
+    }
+    assert capped == small_bucket_pairs  # exact characterization
+    assert capped < uncapped  # the cap did bind (boilerplate pairs lost)
+    lost = uncapped - capped
+    assert lost == {(a, b) for a, b in itertools.combinations(range(100, 112), 2)}
+    # near-dup corpus pairs all survive (their buckets are tiny)
+    assert all(a < 100 and b < 100 for a, b in capped)
+    assert (0, 1) in capped
+
+    # drop accounting surfaces exactly the hot buckets (one per band)
+    dropped = oversized_buckets(banded, ["band", "sig"], cap).collect()
+    assert {r.occupancy for r in dropped} == {12}
+    assert len(dropped) == P.MINHASH_BANDS
+    sigs.unpersist()
