@@ -1678,3 +1678,248 @@ def test_running_total_continues_from_recovered_sum_after_restart(spark):
         assert (p1 + p2) == sorted(p1 + p2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_midbatch_failure_foreachbatch_redelivers_uncommitted_batch(spark, provider):
+    """Failure INSIDE an uncommitted micro-batch — the recovery scenario
+    the clean-boundary restart suite above never exercises. The
+    foreachBatch sink records each delivery, then raises on the FIRST
+    delivery of batch 1 (a sink that wrote partially and crashed: the
+    offset log has WAL'd batch 1, the commit log has not). Pins the
+    documented delivery contract (streaming/sinks.py): foreachBatch is
+    AT-LEAST-ONCE — the uncommitted batch is re-delivered after restart
+    with the SAME batch id and byte-identical content (deterministic
+    replay is what makes an idempotent-by-batch-id sink exactly-once),
+    committed batches are never re-delivered, and the last-delivery-per-
+    batch-id view equals an uninterrupted run exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(BASE + dt.timedelta(seconds=s), "abc"[s % 3]) for s in range(0, 300, 7)]
+    thirds = [rows[:15], rows[15:30], rows[30:]]
+    FAIL_BID = 1
+
+    def write_files(d, parts, start=0):
+        for i, part in enumerate(parts, start=start):
+            p = f"{d}/f{i:02d}.parquet"
+            t = pa.table(
+                {
+                    "ts": pa.array([r[0] for r in part], pa.timestamp("us")),
+                    "event_type": pa.array([r[1] for r in part]),
+                }
+            )
+            pq.write_table(t, p)
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def drain(src_dir, view, cp, deliveries, fail_once_on=None):
+        tripped = {"done": fail_once_on is None}
+
+        def sink(batch_df, bid):
+            batch = frozenset(
+                (r.w_start, r.w_end, r.event_type, r.cnt) for r in batch_df.collect()
+            )
+            deliveries.append((bid, batch))
+            if not tripped["done"] and bid == fail_once_on:
+                tripped["done"] = True
+                raise RuntimeError(f"injected sink crash in batch {bid}")
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="40 seconds")
+        q = start_query(
+            pipe.windowed_counts(size="20 seconds", slide="20 seconds"),
+            name=view,
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=cp,
+            foreach_batch=sink,
+            state_store=None if provider == "default" else provider,
+        )
+        try:
+            assert q.awaitTermination(300), f"{view}: drain timed out"
+            return None
+        except Exception as exc:  # StreamingQueryException on injected crash
+            return exc
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"midbatch_fb_{provider}_")
+    try:
+        import os
+
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        write_files(ref_dir, thirds)
+        ref_deliveries: list = []
+        assert drain(ref_dir, f"mb_ref_{provider}", f"{work}/cp_ref", ref_deliveries) is None
+        reference = {bid: b for bid, b in ref_deliveries}
+
+        write_files(rec_dir, thirds)
+        deliveries: list = []
+        exc = drain(
+            rec_dir, f"mb_p1_{provider}", f"{work}/cp_rec", deliveries, fail_once_on=FAIL_BID
+        )
+        assert exc is not None and "injected sink crash" in str(exc)
+        # batch 0 committed, batch 1 delivered once then crashed mid-batch
+        assert [bid for bid, _ in deliveries] == [0, FAIL_BID]
+
+        # restart from the same checkpoint: fresh query object, same sink
+        assert (
+            drain(rec_dir, f"mb_p2_{provider}", f"{work}/cp_rec", deliveries) is None
+        )
+        bids = [bid for bid, _ in deliveries]
+        # at-least-once: the uncommitted batch re-delivers with the SAME id
+        assert bids.count(FAIL_BID) == 2
+        # committed batches never re-deliver
+        assert bids.count(0) == 1
+        assert bids[2] == FAIL_BID  # restart resumes AT the WAL'd batch
+        # deterministic replay: both deliveries of the failed batch are
+        # byte-identical — the property that makes idempotent sinks work
+        failed, redelivered = [b for bid, b in deliveries if bid == FAIL_BID]
+        assert failed == redelivered and failed
+        # idempotent-by-batch-id view == uninterrupted run, batch for batch
+        last = {bid: b for bid, b in deliveries}
+        assert last == reference
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_midbatch_failure_file_sink_stays_exactly_once(spark, provider):
+    """The other half of the delivery contract: the FILE sink is
+    EXACTLY-ONCE across a mid-batch failure, because output files only
+    become visible through the per-batch _spark_metadata commit. Batch 2's
+    source file is corrupt (valid path, invalid parquet), so the query
+    dies DURING batch 2 — after its offsets are WAL'd but before its
+    commit — with batches 0/1 already committed to the sink. The file is
+    then fixed in place and the query restarted from the same checkpoint:
+    the file-source log never re-admits f00/f01, the WAL'd batch
+    re-executes, and the metadata-log-aware read of the output directory
+    must equal an uninterrupted run exactly — no loss, no duplicates."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(BASE + dt.timedelta(seconds=s), "abc"[s % 3]) for s in range(0, 300, 7)]
+    thirds = [rows[:15], rows[15:30], rows[30:]]
+
+    def write_file(d, i, part):
+        p = f"{d}/f{i:02d}.parquet"
+        t = pa.table(
+            {
+                "ts": pa.array([r[0] for r in part], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in part]),
+            }
+        )
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    def start(src_dir, view, cp, out_dir):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark="40 seconds")
+        return (
+            pipe.windowed_counts(size="20 seconds", slide="20 seconds")
+            .writeStream.queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .option("path", out_dir)
+            .format("parquet")
+            .start()
+        )
+
+    def read_sink(out_dir):
+        # spark.read on a FileStreamSink directory lists through
+        # _spark_metadata — orphan files from failed attempts are invisible
+        return sorted(
+            (r.w_start, r.w_end, r.event_type, r.cnt)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    work = tempfile.mkdtemp(prefix=f"midbatch_fs_{provider}_")
+    try:
+        ref_dir, rec_dir = f"{work}/ref", f"{work}/rec"
+        os.makedirs(ref_dir), os.makedirs(rec_dir)
+        for i, part in enumerate(thirds):
+            write_file(ref_dir, i, part)
+        q = start(ref_dir, f"fs_ref_{provider}", f"{work}/cp_ref", f"{work}/out_ref")
+        assert q.awaitTermination(300)
+        reference = read_sink(f"{work}/out_ref")
+        assert reference  # watermark finalized windows into the sink
+
+        write_file(rec_dir, 0, thirds[0])
+        write_file(rec_dir, 1, thirds[1])
+        # f02: right path, garbage bytes — batch 2 fails at scan time
+        with open(f"{rec_dir}/f02.parquet", "wb") as fh:
+            fh.write(b"this is not a parquet file")
+        os.utime(f"{rec_dir}/f02.parquet", (1_700_000_000 + 2 * 3600,) * 2)
+        q = start(rec_dir, f"fs_p1_{provider}", f"{work}/cp_rec", f"{work}/out_rec")
+        with pytest.raises(Exception):
+            q.awaitTermination(300)
+        committed_early = read_sink(f"{work}/out_rec")
+        # batches 0/1 committed real output before the mid-batch death
+        assert committed_early and set(committed_early) < set(reference)
+
+        # fix the file IN PLACE (same path — the source log keys on path,
+        # so the repaired file is re-read by the WAL'd batch, not
+        # re-admitted as new input) and restart from the same checkpoint
+        write_file(rec_dir, 2, thirds[2])
+        q = start(rec_dir, f"fs_p2_{provider}", f"{work}/cp_rec", f"{work}/out_rec")
+        assert q.awaitTermination(300)
+        assert read_sink(f"{work}/out_rec") == reference  # exactly-once
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
