@@ -1923,3 +1923,142 @@ def test_midbatch_failure_file_sink_stays_exactly_once(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_watermark_drop_count_matches_predicted_late_rows(spark, provider):
+    """Positive pin of the late-data DROP path: every other drain asserts
+    zero drops; here rows are deliberately late and the engine-reported
+    stateOperators.numRowsDroppedByWatermark must equal the count the
+    watermark contract predicts, computed in the test from the data and
+    the rule — not hand-pinned. The rule (probed empirically, matching
+    Spark's two-watermark model): batch N filters late rows against the
+    watermark that was in force during batch N-1 (watermarkForLateEvents
+    — a row is dropped iff its WINDOW's end <= that value, i.e. its
+    window's state was evicted at the end of the previous batch), while
+    eviction/emission uses the current batch's watermark
+    (watermarkForEviction). Two subtleties pinned: a row below the
+    watermark whose window is still open (s=85, window [80,100)) is NOT
+    dropped, and a row whose window end is below the CURRENT watermark
+    but not the late-events watermark (f02's s=100: end 120 <= 190
+    current, > 90 late-events) merges into live state and emits in the
+    same batch rather than dropping. The surviving rows' finalized
+    windows are cross-checked against a batch oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    DELAY = 10
+    SIZE = 20
+    f00 = [0, 3, 18, 22, 41, 100]
+    f01 = [5, 15, 50, 85, 200]
+    f02 = [2, 6, 55, 100, 130, 250]
+
+    def w_end(s):
+        return (s // SIZE + 1) * SIZE
+
+    # the oracle: watermark in force during batch N = max event time of
+    # batches <= N-1, minus the delay; batch N's LATE filter uses the
+    # batch N-1 value. Batch 1 filters against 0 (nothing drops); batch 2
+    # filters against max(f00)-DELAY.
+    wm_during_b1 = max(f00) - DELAY
+    predicted_drops = [s for s in f02 if w_end(s) <= wm_during_b1]
+    # numRowsDroppedByWatermark counts rows entering the STATEFUL operator
+    # — i.e. after map-side partial aggregation, one row per (window, key)
+    # group per map partition (a single-file micro-batch scans as one
+    # partition, so late rows in the same window collapse to one dropped
+    # row): the exact prediction is the number of distinct late windows,
+    # while the per-INPUT-row late count shows up as absence from the
+    # output counts (cross-checked below).
+    predicted_dropped_state_rows = {w_end(s) for s in predicted_drops}
+    survivors = f00 + f01 + [s for s in f02 if s not in predicted_drops]
+    final_wm = max(f00 + f01 + f02) - DELAY
+    assert len(predicted_drops) == 3 and 85 not in predicted_drops
+    assert len(predicted_dropped_state_rows) == 2
+    assert 100 in survivors and 130 in survivors
+
+    def write_file(d, i, secs):
+        p = f"{d}/f{i:02d}.parquet"
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [BASE + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a"] * len(secs)),
+            }
+        )
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
+    saved = {}
+    for c in conf_keys:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+    work = tempfile.mkdtemp(prefix=f"latedrop_{provider}_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        write_file(src, 0, f00)
+        write_file(src, 1, f01)
+        write_file(src, 2, f02)
+        got: set = set()
+
+        def collect(batch_df, _bid):
+            got.update(
+                (r.w_start, r.w_end, r.cnt) for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        pipe = StreamingPipelines(
+            stream, "ts", "event_type", watermark=f"{DELAY} seconds"
+        )
+        q = start_query(
+            pipe.windowed_counts(size=f"{SIZE} seconds", slide=f"{SIZE} seconds"),
+            name=f"latedrop_{provider}",
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=f"{work}/cp",
+            foreach_batch=collect,
+            state_store=None if provider == "default" else provider,
+        )
+        assert q.awaitTermination(300), "drain timed out"
+
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        assert dropped == len(predicted_dropped_state_rows)  # nonzero, exact
+
+        # batch oracle over the surviving rows: finalized tumbling windows
+        epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        expected = {}
+        for s in survivors:
+            w0 = s // SIZE * SIZE
+            if w0 + SIZE <= final_wm:
+                key = (epoch + w0, epoch + w0 + SIZE)
+                expected[key] = expected.get(key, 0) + 1
+        assert got == {(a, b, c) for (a, b), c in expected.items()}
+        # the below-watermark-but-open-window row survived into its window
+        assert (epoch + 80, epoch + 100, 1) in got
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for c, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(c)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(c, v)
