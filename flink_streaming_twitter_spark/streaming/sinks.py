@@ -86,11 +86,57 @@ def influx_lines_foreach_batch(
         if writer is not None:
             writer(lines)
         elif url is not None:  # pragma: no cover - needs a live InfluxDB
-            import urllib.request
+            _post_lines(url, lines)
 
-            req = urllib.request.Request(
-                url, data="\n".join(lines).encode(), method="POST"
-            )
-            urllib.request.urlopen(req, timeout=10)
+    return write_batch
+
+
+def _post_lines(url: str, lines: list[str]) -> None:  # pragma: no cover
+    import urllib.request
+
+    req = urllib.request.Request(url, data="\n".join(lines).encode(), method="POST")
+    urllib.request.urlopen(req, timeout=10)
+
+
+def influx_lines_foreach_partition(
+    url: str | None = None,
+    writer: Callable[[list[str]], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function that ships line protocol PER PARTITION from
+    the executors (``foreachPartition``) instead of collecting to the
+    driver — the shape for HIGH-CARDINALITY result streams (e.g. a
+    per-hashtag series rather than the reference's top-1/count rows),
+    where a batch no longer safely materializes driver-side. Each
+    partition formats its own rows and makes its own POST, so sink
+    throughput scales with the cluster instead of the driver NIC; the
+    trade is one HTTP request per partition per trigger (size result
+    partitions accordingly — coalesce the result stream if partitions
+    are tiny).
+
+    ``writer`` (must be serializable — it runs ON THE EXECUTORS) receives
+    each non-empty partition's lines; defaults to an HTTP POST to ``url``.
+    Delivery stays at-least-once like the driver-side variant: a batch
+    retry may re-POST partitions that already succeeded.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def handle_partition(rows) -> None:
+            lines = [
+                influx_line(
+                    r["measurement"],
+                    dict(r["tags"] or {}),
+                    dict(r["fields"] or {}),
+                    int(r["ts"].timestamp() * 1_000_000_000),
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            if writer is not None:
+                writer(lines)
+            elif url is not None:  # pragma: no cover - needs a live InfluxDB
+                _post_lines(url, lines)
+
+        batch_df.foreachPartition(handle_partition)
 
     return write_batch

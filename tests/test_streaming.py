@@ -2062,3 +2062,56 @@ def test_watermark_drop_count_matches_predicted_late_rows(spark, provider):
                     pass
             else:
                 spark.conf.set(c, v)
+
+
+def test_influx_partitioned_writer_ships_every_line_from_executors(spark):
+    """The foreachPartition sink variant: no driver-side collect — each
+    partition formats and ships its own lines (the shape for
+    high-cardinality result streams). The injected writer runs ON THE
+    EXECUTOR python workers, so it records through the filesystem, not a
+    driver closure; the union of all per-partition shipments must be
+    exactly the batch's line-protocol rendering, and no partition may
+    ship twice."""
+    import glob
+    import os
+    import uuid
+
+    from flink_streaming_twitter_spark.streaming.sinks import (
+        influx_lines_foreach_partition,
+    )
+
+    d = tempfile.mkdtemp(prefix="influx_part_")
+    try:
+        rows = [
+            (BASE + dt.timedelta(seconds=i), f"tag{i}", i * 10) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, ["window_end", "hashtag", "cnt"])
+        points = to_influx_points(
+            df, "TrendingHashTagFlink1", "window_end",
+            {"hashtag": "hashtag"}, {"count": "cnt"},
+        ).repartition(3)
+
+        def writer(lines):
+            with open(os.path.join(d, uuid.uuid4().hex), "w") as fh:
+                fh.write("\n".join(lines))
+
+        influx_lines_foreach_partition(writer=writer)(points, 0)
+
+        shipped = []
+        for p in glob.glob(os.path.join(d, "*")):
+            with open(p) as fh:
+                shipped.extend(fh.read().splitlines())
+        expected = {
+            influx_line(
+                "TrendingHashTagFlink1",
+                {"hashtag": f"tag{i}"},
+                {"count": str(i * 10)},
+                int((BASE + dt.timedelta(seconds=i)).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000),
+            )
+            for i in range(7)
+        }
+        assert set(shipped) == expected
+        assert len(shipped) == 7  # nothing shipped twice
+        assert 1 < len(glob.glob(os.path.join(d, "*"))) <= 3  # per-partition POSTs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
