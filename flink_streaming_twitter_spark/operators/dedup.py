@@ -309,7 +309,7 @@ def ngram_jaccard_pairs(
     TEST-SCALE choice: past ~2^15.5 distinct shingles the 2^31 space
     enters the birthday regime (measured at the ×100 stress corpus:
     ~3e5 distinct shingles → 22 colliding hash values,
-    tools/scale_bench_r6.py), and a spurious shared hash inflates a
+    tools/scale_suite.py recall_denominator_x100), and a spurious shared hash inflates a
     pair's Jaccard. Pass ``hash_bits=60`` at real corpus scale
     (md5_int60 — already SimHash's width; the join shape is unchanged,
     and tests pin that a 31-bit-colliding pair disappears at 60 bits).

@@ -84,7 +84,8 @@ def test_simhash_identical_docs_distance_zero(spark):
 def test_ngram_jaccard_blocked_decomposition_matches_global(spark):
     """An exact PPJoin over groups with DISJOINT shingle sets equals the
     union of per-group exact joins — the decomposition
-    tools/scale_bench_r6.py uses to measure the x100 t=0.5 denominator
+    tools/scale_suite.py's recall_denominator_x100 cell uses to measure
+    the x100 t=0.5 denominator
     after the global join proved disk-bound (a pair with Jaccard > 0
     must share a shingle, so verified shingle-disjoint blocks cannot
     interact). Salting mirrors make_scale10: a per-group token inside

@@ -1,0 +1,572 @@
+"""Consolidated scale-measurement suite (round 7): one runner with named
+cells and a manifest, folding the five round-specific probes
+(scale_bench_r3/r4/r5/r5_ann/r6) so re-measuring any SCALE.md table is
+one command. Cell code is moved, not rewritten — measurement scopes
+(min-over-passes, cache clears, drain-timing stamps, _SUCCESS-gated
+corpus reuse, the gate-params env flag) are the ones the recorded
+numbers were taken under.
+
+Usage:
+  python tools/scale_suite.py --list            # manifest (cells + what they measure)
+  python tools/scale_suite.py CELL [CELL ...]   # run specific cells
+  python tools/scale_suite.py all_x10           # everything at 10x (/tmp/sf1)
+  python tools/scale_suite.py all_x100          # everything at 100x (/tmp/sf10)
+
+Env:
+  SPARK_GRAFT_BENCH_PASSES      timed passes per cell (default 2)
+  SPARK_GRAFT_X100_GATE_PARAMS  =1 also runs the documented-unscalable
+                                gate-parameter forms at x100 (tens of
+                                minutes; the sized forms always run)
+
+Output: one JSON line per record, each tagged {"cell": <name>, ...};
+the summary tables live in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_streaming_twitter_spark.session import build_session  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+X10 = "/tmp/sf1"
+X100 = "/tmp/sf10"
+OFFSET = 10_000_000
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
+
+def emit(cell: str, **fields) -> None:
+    print(json.dumps({"cell": cell, **fields}), flush=True)
+
+
+def timed(fn, passes: int = PASSES) -> tuple[float, int]:
+    best, rows = None, None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        rows = fn().count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, rows
+
+
+def _built(table_dir: str) -> bool:
+    # _SUCCESS (Spark's job-commit marker) rather than bare dir existence:
+    # a partial directory from an interrupted run must trigger a rebuild,
+    # not be silently reused (round-5 advice).
+    return os.path.exists(os.path.join(table_dir, "_SUCCESS"))
+
+
+def _drain_seconds(qs, name, d, spark):
+    """Stream entries: time ONLY query start -> termination via the drain
+    harness's module-global stamps (same scope as bench.py's probe) —
+    wall clock would fold the per-pass replay prep (O(n) pyarrow
+    sort+split) into the measurement."""
+    from flink_streaming_twitter_spark.plans import reference_queries as RQ
+
+    best, rows = None, None
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        rows = qs[name](spark, d).count()
+        dt = time.perf_counter() - t0
+        if RQ.LAST_DRAIN_TIMING:
+            dt = RQ.LAST_DRAIN_TIMING["query_end"] - RQ.LAST_DRAIN_TIMING["query_start"]
+        best = dt if best is None else min(best, dt)
+    return best, rows
+
+
+# --------------------------------------------------------------- builders
+
+
+def build_x10(spark) -> None:
+    """10x replica of every sf0.1 table in /tmp/sf1 (make_scale10.py's
+    replication rules: id offsets; document replicas salted every other
+    word so they are NOT near-dups; dimensions copied as-is)."""
+    if all(
+        _built(os.path.join(X10, f"{t}.parquet"))
+        for t in ("documents", "events", "orders", "lineitem", "embeddings")
+    ):
+        emit("build_x10", reused=X10)
+        return
+    import make_scale10
+
+    make_scale10.main()
+    emit("build_x10", built=X10)
+
+
+def build_x100(spark) -> None:
+    """100x documents+events (/tmp/sf10) via one explode(sequence(...))
+    pass — replica scheme matches make_scale10 (id offsets; per-replica
+    salt token every other word so replicas are NOT near-dups) — plus
+    100x embeddings (vec_id offsets, vectors IDENTICAL across replicas:
+    deliberately models exact-duplicate vectors at scale)."""
+    os.makedirs(X100, exist_ok=True)
+    if not (
+        _built(os.path.join(X100, "documents.parquet"))
+        and _built(os.path.join(X100, "events.parquet"))
+    ):
+        docs = (
+            spark.read.parquet(f"{SF01}/documents.parquet")
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(99))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(OFFSET))
+            .withColumn(
+                "text",
+                F.when(F.col("k") == 0, F.col("text")).otherwise(
+                    F.expr(
+                        r"regexp_replace(text, '(\\w+ \\w+)',"
+                        r" concat('$1 z', cast(k AS string)))"
+                    )
+                ),
+            )
+            .drop("k")
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(f"{X100}/documents.parquet")
+        ev = (
+            spark.read.parquet(f"{SF01}/events.parquet")
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(99))))
+            .withColumn("event_id", F.col("event_id") + F.col("k") * F.lit(OFFSET))
+            .withColumn("user_id", F.col("user_id") + F.col("k") * F.lit(OFFSET))
+            .drop("k")
+        )
+        ev.repartition(32).write.mode("overwrite").parquet(f"{X100}/events.parquet")
+    if not _built(os.path.join(X100, "embeddings.parquet")):
+        emb = (
+            spark.read.parquet(f"{SF01}/embeddings.parquet")
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(99))))
+            .withColumn("vec_id", F.col("vec_id") + F.col("k") * F.lit(OFFSET))
+            .drop("k")
+        )
+        emb.repartition(32).write.mode("overwrite").parquet(f"{X100}/embeddings.parquet")
+    emit(
+        "build_x100",
+        documents=spark.read.parquet(f"{X100}/documents.parquet").count(),
+        events=spark.read.parquet(f"{X100}/events.parquet").count(),
+        vectors=spark.read.parquet(f"{X100}/embeddings.parquet").count(),
+    )
+
+
+# ----------------------------------------------------------- 10x cells
+
+
+def dedup_x10(spark) -> None:
+    """r3 table: the dedup/ANN/CC families at sf0.1 and 10x — wall
+    seconds AND output rows so the growth law is on record, plus
+    plain-vs-star CC round counts on each scale's dup graph."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = (
+        "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
+        "dedup_embedding_cosine", "similarity_brute_topk", "similarity_lsh_topk",
+        "similarity_ivf_topk",
+    )
+    for sf_dir in (SF01, X10):
+        for name in names:
+            best, rows = None, None
+            for _ in range(PASSES):
+                t0 = time.perf_counter()
+                rows = qs[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            emit("dedup_x10", query=name, sf_dir=sf_dir, sec=round(best, 2), rows=rows)
+
+        from flink_streaming_twitter_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+        from flink_streaming_twitter_spark.plans.dedup import _dup_evidence
+        from flink_streaming_twitter_spark.sources.files import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        edges = _dup_evidence(docs).persist()
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        rec = {"sf_dir": sf_dir, "n_edges": edges.count()}
+        for label, fn in (("plain", connected_components), ("star", connected_components_star)):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            n = fn(edges, nodes=nodes, stats=stats).count()
+            rec[label] = {
+                "rounds": stats.get("rounds", 0),
+                "sec": round(time.perf_counter() - t0, 2),
+                "labeled": n,
+            }
+        edges.unpersist()
+        emit("dedup_x10", **rec)
+
+
+def streams_x10(spark) -> None:
+    """r4 table: the five multi-batch drains + the decode-once multimodal
+    kernel at sf0.1 vs 10x (drain-stamp timing scope)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for d in (SF01, X10):
+        spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+    for name in (
+        "multimodal_decode_stats", "stream_qb_counts", "stream_dedup_keys",
+        "stream_qa_trending", "stream_interval_pairs", "stream_session_counts",
+    ):
+        row: dict = {"bench": name}
+        best_raw: dict[str, float] = {}
+        for tag, d in (("sf0.1", SF01), ("x10", X10)):
+            if name.startswith("stream_"):
+                best, rows = _drain_seconds(qs, name, d, spark)
+            else:
+                best, rows = timed(lambda: qs[name](spark, d))
+            spark.catalog.clearCache()
+            best_raw[tag] = best
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = rows
+        # factor from UNROUNDED timings (ADVICE r4)
+        row["factor"] = (
+            round(best_raw["x10"] / best_raw["sf0.1"], 2) if best_raw["sf0.1"] > 0 else None
+        )
+        emit("streams_x10", **row)
+
+
+# ---------------------------------------------------------- 100x cells
+
+
+def dedup_x100(spark) -> None:
+    """r5 table: output-sensitive dedup at two decades — parameter effect
+    (gate vs scale-sized thresholds at sf0.1), data effect (sized
+    thresholds at x100), and the deploy-path contrast (LSH forms at
+    unchanged gate parameters). The gate-parameter x100 forms are behind
+    SPARK_GRAFT_X100_GATE_PARAMS=1 (documented-unscalable; tens of
+    minutes)."""
+    from flink_streaming_twitter_spark.operators import dedup as D
+    from flink_streaming_twitter_spark.plans import dedup as PD
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    include_gate_x100 = os.environ.get("SPARK_GRAFT_X100_GATE_PARAMS") == "1"
+
+    def ngram(d, t):
+        return D.ngram_jaccard_pairs(
+            load_table(spark, d, "documents"), threshold=t, shingle_k=P.SHINGLE_K
+        )
+
+    def simhash(d, h):
+        return D.simhash_near_pairs(load_table(spark, d, "documents"), max_hamming=h)
+
+    gate_dirs = (("sf0.1", SF01), ("x100", X100)) if include_gate_x100 else (("sf0.1", SF01),)
+    both = (("sf0.1", SF01), ("x100", X100))
+    cells = (
+        ("dedup_ngram_jaccard", {"threshold": P.JACCARD_THRESHOLD},
+         lambda d: ngram(d, P.JACCARD_THRESHOLD), gate_dirs),
+        ("dedup_ngram_jaccard", {"threshold": 0.8},
+         lambda d: ngram(d, 0.8), both),
+        ("dedup_simhash", {"max_hamming": P.SIMHASH_MAX_HAMMING},
+         lambda d: simhash(d, P.SIMHASH_MAX_HAMMING), gate_dirs),
+        ("dedup_simhash", {"max_hamming": 1},
+         lambda d: simhash(d, 1), both),
+        # deploy-path contrast: gate parameters unchanged by design
+        ("dedup_lsh_exact", {"threshold": P.JACCARD_THRESHOLD},
+         lambda d: PD.dedup_lsh_exact(spark, d), both),
+        ("dedup_minhash_lsh", {"est_threshold": P.MINHASH_EST_THRESHOLD},
+         lambda d: PD.dedup_minhash_lsh(spark, d), both),
+    )
+    for name, knobs, build, dirs in cells:
+        row: dict = {"bench": name, **knobs}
+        for tag, d in dirs:
+            best, rows = timed(lambda: build(d))
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = rows
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        if "x100" in row and row["sf0.1"] > 0:
+            row["factor"] = round(row["x100"] / row["sf0.1"], 2)
+        emit("dedup_x100", **row)
+
+
+def ann_x100(spark) -> None:
+    """r5_ann table: the IVF sizing contrast (gate-fixed seed_mod — ONE
+    pass at the expensive x100 cell, the documented-bad configuration —
+    vs auto-sqrt(n), the deploy sizing) plus LSH and brute ANN at x100.
+    Per-tag pass counts are flat fields (passes_sf0_1/passes_x100), not
+    nested knobs (round-6 advice: keep the JSON row shape scalar)."""
+    from flink_streaming_twitter_spark.operators.similarity import ivf_topk
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans import similarity as PS
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    def ivf_auto(d):
+        emb = load_table(spark, d, "embeddings")
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < P.ANN_NUM_QUERIES),
+            P.ANN_TOP_K,
+            nprobe=P.IVF_NPROBE,
+            seed_mod=None,  # auto sqrt(n) — the deploy sizing
+            seed_rem=P.IVF_SEED_REM,
+        )
+
+    both = (("sf0.1", SF01), ("x100", X100))
+    cells = (
+        ("similarity_ivf_topk", {"seed_mod": P.IVF_SEED_MOD},
+         lambda d: PS.similarity_ivf_topk(spark, d), both,
+         {"sf0.1": PASSES, "x100": 1}),
+        ("similarity_ivf_topk", {"seed_mod": "auto_sqrt_n"},
+         lambda d: ivf_auto(d), both, PASSES),
+        ("similarity_lsh_topk", {},
+         lambda d: PS.similarity_lsh_topk(spark, d), both, PASSES),
+        ("similarity_brute_topk", {},
+         lambda d: PS.similarity_brute_topk(spark, d), both, PASSES),
+    )
+    for name, knobs, build, dirs, passes in cells:
+        row: dict = {"bench": name, **knobs}
+        for tag, d in dirs:
+            n_passes = passes[tag] if isinstance(passes, dict) else passes
+            row[f"passes_{tag.replace('.', '_')}"] = n_passes
+            best, rows = timed(lambda: build(d), passes=n_passes)
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = rows
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        if "x100" in row and row["sf0.1"] > 0:
+            row["factor"] = round(row["x100"] / row["sf0.1"], 2)
+        emit("ann_x100", **row)
+
+
+def streams_x100(spark) -> None:
+    """r5/r5_ann drains at 100x events: one full windowed-count drain plus
+    the two heaviest (RocksDB chained two-agg, stream-stream interval
+    join) — 10M events through the multi-batch engine, query-only
+    seconds."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("stream_qb_counts", "stream_qa_trending", "stream_interval_pairs"):
+        row = {"bench": name}
+        for tag, d in (("sf0.1", SF01), ("x100", X100)):
+            best, rows = _drain_seconds(qs, name, d, spark)
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = rows
+        row["factor"] = round(row["x100"] / row["sf0.1"], 2) if row["sf0.1"] > 0 else None
+        emit("streams_x100", **row)
+
+
+def recall_denominator_x100(spark) -> None:
+    """r6 measurement: the exact t=0.5 pair count at x100 (the recall
+    denominator for dedup_lsh_exact's 99.85% figure), computed as 10
+    spill-bounded per-block exact joins plus the EXACT cross-replica
+    contribution enumerated through the (measured) set of shingle hashes
+    occurring in >1 replica — the global exact join is disk-bound at
+    this scale (died at >62 GB spill; that failure is itself the
+    measured verdict on the exact form at two decades)."""
+    from flink_streaming_twitter_spark.operators import dedup as D
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    REPLICAS, BLOCK = 100, 10
+
+    base = D.ngram_jaccard_pairs(
+        load_table(spark, SF01, "documents"),
+        threshold=P.JACCARD_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+    ).count()
+    emit("recall_denominator_x100", bench="exact_jaccard_t0.5", sf0_1_rows=base)
+
+    docs100 = load_table(spark, X100, "documents")
+
+    # (1) hash-level disjointness: shingle hashes in >1 replica (expected:
+    # ~20 two-replica birthday collisions of md5_int31 over ~3e5 strings)
+    t0 = time.perf_counter()
+    occ = (
+        D.doc_shingle_sets(docs100, k=P.SHINGLE_K)
+        .select(
+            (F.col("doc_id") / F.lit(OFFSET)).cast("long").alias("replica"),
+            "doc_id",
+            "sz",
+            F.explode("shs").alias("sh"),
+        )
+        .persist()
+    )
+    multi = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("replica").alias("n_replicas"))
+        .filter(F.col("n_replicas") > 1)
+    )
+    multi_rows = multi.collect()
+    emit(
+        "recall_denominator_x100",
+        bench="shingle_disjointness",
+        colliding_hashes=len(multi_rows),
+        max_replicas_per_hash=max((r.n_replicas for r in multi_rows), default=1),
+        seconds=round(time.perf_counter() - t0, 1),
+    )
+
+    # (2) EXACT cross-replica contribution via the colliding subset
+    t0 = time.perf_counter()
+    bad = [r.sh for r in multi_rows]
+    cross = {"pairs_with_overlap": 0, "max_jaccard": 0.0, "pairs_ge_t": 0}
+    if bad:
+        sub = occ.filter(F.col("sh").isin(bad))
+        a = sub.select("sh", F.col("replica").alias("ra"),
+                       F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+        b = sub.select("sh", F.col("replica").alias("rb"),
+                       F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        pairs = (
+            a.join(b, "sh")
+            .filter(F.col("ra") < F.col("rb"))
+            .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select((F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c"))).alias("jac"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("jac").alias("mx"),
+                F.sum(F.when(F.col("jac") >= F.lit(P.JACCARD_THRESHOLD), 1).otherwise(0)).alias("ge_t"),
+            )
+            .collect()[0]
+        )
+        cross = {
+            "pairs_with_overlap": pairs.n,
+            "max_jaccard": round(float(pairs.mx or 0.0), 6),
+            "pairs_ge_t": int(pairs.ge_t or 0),
+        }
+    emit("recall_denominator_x100", bench="cross_replica_exact", **cross,
+         seconds=round(time.perf_counter() - t0, 1))
+    occ.unpersist()
+
+    # (3) blocked exact join: global count == sum of per-block counts +
+    # the measured cross-replica pairs (prefix filtering is lossless
+    # under ANY consistent df order, so per-block counts are exact)
+    total, block_counts = 0, []
+    t0 = time.perf_counter()
+    for g in range(REPLICAS // BLOCK):
+        lo, hi = g * BLOCK * OFFSET, (g + 1) * BLOCK * OFFSET
+        c = D.ngram_jaccard_pairs(
+            docs100.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            threshold=P.JACCARD_THRESHOLD,
+            shingle_k=P.SHINGLE_K,
+        ).count()
+        block_counts.append(c)
+        total += c
+        emit("recall_denominator_x100", block=g, rows=c)
+    total += cross["pairs_ge_t"]
+    emit(
+        "recall_denominator_x100",
+        bench="exact_jaccard_t0.5",
+        x100_rows=total,
+        x100_seconds_blocked=round(time.perf_counter() - t0, 1),
+        blocks=block_counts,
+        cross_replica_pairs=cross["pairs_ge_t"],
+        construction_denominator=base * 100,
+        matches_construction=total == base * 100,
+    )
+
+
+def lsh_bucket_cap_x100(spark) -> None:
+    """Round-7 cell: does DEFAULT_LSH_MAX_BUCKET (on by default since r7)
+    bind at x100? Measures MinHash band-bucket occupancy on the x100
+    corpus and the exact pair loss of the default cap (capped vs
+    uncapped candidate counts on identical data)."""
+    from flink_streaming_twitter_spark.operators import dedup as D
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    docs = load_table(spark, X100, "documents")
+    sigs = D.minhash_signatures(
+        D.doc_shingle_sets(docs, k=P.SHINGLE_K), P.MINHASH_PERMS
+    ).persist()
+    banded = D.banded_signatures(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS)
+    occ = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n")).persist()
+    stats = occ.agg(
+        F.max("n").alias("max_occ"),
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum(F.when(F.col("n") > D.DEFAULT_LSH_MAX_BUCKET, 1).otherwise(0)).alias("over_cap"),
+    ).collect()[0]
+    t0 = time.perf_counter()
+    uncapped = D.lsh_candidate_pairs(
+        sigs, P.MINHASH_PERMS, P.MINHASH_BANDS, max_bucket=None
+    ).count()
+    t_uncapped = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    capped = D.lsh_candidate_pairs(
+        sigs, P.MINHASH_PERMS, P.MINHASH_BANDS, max_bucket=D.DEFAULT_LSH_MAX_BUCKET
+    ).count()
+    t_capped = time.perf_counter() - t0
+    occ.unpersist()
+    sigs.unpersist()
+    emit(
+        "lsh_bucket_cap_x100",
+        cap=D.DEFAULT_LSH_MAX_BUCKET,
+        max_occupancy=stats.max_occ,
+        buckets=stats.buckets,
+        buckets_over_cap=int(stats.over_cap or 0),
+        pairs_uncapped=uncapped,
+        pairs_capped=capped,
+        pairs_lost=uncapped - capped,
+        sec_uncapped=round(t_uncapped, 2),
+        sec_capped=round(t_capped, 2),
+    )
+
+
+# ---------------------------------------------------------------- driver
+
+MANIFEST: dict[str, tuple] = {
+    # name: (fn, required corpus dirs, description)
+    "build_x10": (build_x10, (), "build the 10x replica in /tmp/sf1 (all tables)"),
+    "build_x100": (build_x100, (), "build 100x documents/events/embeddings in /tmp/sf10"),
+    "dedup_x10": (dedup_x10, (X10,), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
+    "streams_x10": (streams_x10, (X10,), "five multi-batch drains + multimodal kernel at 10x"),
+    "dedup_x100": (dedup_x100, (X100,), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
+    "ann_x100": (ann_x100, (X100,), "IVF sizing contrast + LSH/brute ANN at 100x"),
+    "streams_x100": (streams_x100, (X100,), "heaviest drains at 100x events"),
+    "recall_denominator_x100": (recall_denominator_x100, (X100,), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
+    "lsh_bucket_cap_x100": (lsh_bucket_cap_x100, (X100,), "band-bucket occupancy and default-cap pair loss at 100x"),
+}
+
+GROUPS = {
+    "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
+    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "streams_x100",
+                 "recall_denominator_x100", "lsh_bucket_cap_x100"),
+}
+
+
+def main(argv: list[str]) -> int:
+    if not argv or argv[0] in ("--list", "-l"):
+        for name, (_fn, reqs, desc) in MANIFEST.items():
+            print(f"{name:28s} {desc}" + (f"  [needs {', '.join(reqs)}]" if reqs else ""))
+        for g, members in GROUPS.items():
+            print(f"{g:28s} group: {', '.join(members)}")
+        return 0
+    cells: list[str] = []
+    for a in argv:
+        if a in GROUPS:
+            cells.extend(GROUPS[a])
+        elif a in MANIFEST:
+            cells.append(a)
+        else:
+            print(f"unknown cell {a!r}; --list shows the manifest", file=sys.stderr)
+            return 2
+    spark = build_session("scale-suite", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        for name in cells:
+            fn, reqs, _ = MANIFEST[name]
+            missing = [
+                d for d in reqs
+                if not any(_built(os.path.join(d, f"{t}.parquet"))
+                           for t in ("documents", "events", "embeddings"))
+            ]
+            if missing:
+                emit(name, skip=True, reason=f"missing corpus {missing}; run the build cell first")
+                continue
+            fn(spark)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
