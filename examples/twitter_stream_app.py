@@ -32,6 +32,7 @@ from flink_streaming_twitter_spark.sources.kafka import kafka_tweet_stream, pars
 from flink_streaming_twitter_spark.streaming.runner import StreamingPipelines, start_query
 from flink_streaming_twitter_spark.streaming.sinks import (
     influx_lines_foreach_batch,
+    influx_lines_foreach_partition,
     to_influx_points,
 )
 
@@ -151,16 +152,31 @@ def main() -> None:
     ap.add_argument("--topic", default="tweeter-topic")  # Main.java:61
     ap.add_argument("--influx-url", required=True, help="InfluxDB /write URL")
     ap.add_argument("--checkpoint", default="/tmp/twitter-stream-checkpoints")
+    ap.add_argument(
+        "--sink-mode",
+        choices=("driver", "partition"),
+        default="driver",
+        help="driver: one POST per trigger from the driver (fine for the "
+        "reference's tiny top-1/count result streams); partition: one POST "
+        "per result partition from the executors — use when a result "
+        "stream is high-cardinality (e.g. per-hashtag series)",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="twitter-streaming")  # AQE, UTC, shuffle sizing
     raw = kafka_tweet_stream(spark, args.brokers, args.topic)
     tweets = parse_tweets(raw, watermark=False)  # watermark added per-pipeline
 
+    line_sink = (
+        influx_lines_foreach_batch
+        if args.sink_mode == "driver"
+        else influx_lines_foreach_partition
+    )
+
     def sink_factory(measurement: str, ts_col: str, tags: dict, fields: dict):
         def on_batch(batch_df, batch_id: int) -> None:
             pts = to_influx_points(batch_df, measurement, ts_col, tags, fields)
-            influx_lines_foreach_batch(url=args.influx_url)(pts, batch_id)
+            line_sink(url=args.influx_url)(pts, batch_id)
 
         return on_batch
 
