@@ -157,3 +157,28 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
                     pass
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_cap_plans_broadcast_anti_join(spark, sf_dir):
+    """The default LSH bucket-cap filter must stay a BROADCAST anti-join
+    against the (near-empty) oversized-key set — a shuffled anti-join or
+    a semi-join against the full small-bucket set would re-introduce the
+    ~0.6 s/query fixed overhead the round-7 rewrite removed. Pinned on
+    the capped candidate-pair plan: exactly one LeftAnti join, planned
+    broadcast, and no SortMergeJoin variant of it."""
+    from flink_streaming_twitter_spark.operators import dedup as D
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(
+        D.doc_shingle_sets(docs, k=P.SHINGLE_K), P.MINHASH_PERMS
+    )
+    plan = _plan(
+        D.lsh_candidate_pairs(
+            sigs, P.MINHASH_PERMS, P.MINHASH_BANDS, max_bucket=D.DEFAULT_LSH_MAX_BUCKET
+        )
+    )
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan
+    assert "ShuffledHashJoin LeftAnti" not in plan
