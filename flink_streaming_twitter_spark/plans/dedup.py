@@ -5,6 +5,14 @@ permutations, and band layout as operators/dedup.py (constants flow from
 plans/params.py and functions/hashing.py), so even the approximate
 operators (MinHash LSH, SimHash) are checked value-for-value, not just
 rows-only.
+
+The LSH entries run with the deploy-default bucket cap
+(DEFAULT_LSH_MAX_BUCKET) while the oracles are UNCAPPED — deliberate:
+the cap is measured inert on every gate corpus (max band-bucket
+occupancy 4 at sf0.1, 8 at x100, vs cap 1024 — SCALE.md), so the
+oracle-verified configuration IS the deploy configuration, and if a
+future corpus ever grew an oversized bucket the hash mismatch would
+surface here rather than silently diverging.
 """
 
 from __future__ import annotations
