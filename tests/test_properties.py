@@ -586,3 +586,56 @@ def test_range_join_matches_brute_force_model(spark, ivs, probes, w):
         if s <= ts < e
     }
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",
+                "one two three four five six seven",
+                "totally different words here now",
+            ]
+        ),
+        min_size=4,
+        max_size=24,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_bucket_cap_characterization_matches_python_model(spark, texts, cap):
+    """Randomized form of the cap pin: for ANY corpus and ANY cap, the
+    capped candidate set equals exactly the pairs that share at least
+    one band bucket of occupancy <= cap — computed here from the banded
+    table itself, independently of cap_bucket_size's join logic.
+    Repeated texts make oversized buckets (identical docs share every
+    band), so small caps genuinely bind on most generated cases."""
+    import itertools
+
+    from flink_streaming_twitter_spark.operators.dedup import (
+        banded_signatures,
+        doc_shingle_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sigs = minhash_signatures(doc_shingle_sets(docs, k=3), 16).persist()
+    banded = banded_signatures(sigs, 16, 4)
+
+    buckets: dict = {}
+    for r in banded.collect():
+        buckets.setdefault((r.band, r.sig), []).append(r.doc_id)
+    expected = {
+        pair
+        for members in buckets.values()
+        if len(members) <= cap
+        for pair in itertools.combinations(sorted(members), 2)
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, 16, 4, max_bucket=cap).collect()
+    }
+    sigs.unpersist()
+    assert capped == expected
