@@ -1913,6 +1913,23 @@ def test_midbatch_failure_file_sink_stays_exactly_once(spark, provider):
         q = start(rec_dir, f"fs_p2_{provider}", f"{work}/cp_rec", f"{work}/out_rec")
         assert q.awaitTermination(300)
         assert read_sink(f"{work}/out_rec") == reference  # exactly-once
+
+        # the exactly-once mechanism itself: files not committed to
+        # _spark_metadata are INVISIBLE to the read — plant an orphan
+        # parquet (what a killed task attempt leaves behind) and the
+        # sink's contents must not change
+        orphan = spark.createDataFrame(
+            [(1, 2, "orphan", 99)], ["w_start", "w_end", "event_type", "cnt"]
+        )
+        orphan.coalesce(1).write.mode("append").format("parquet").save(
+            f"{work}/orphan_tmp"
+        )
+        import glob
+        import shutil as sh
+
+        [orphan_file] = glob.glob(f"{work}/orphan_tmp/part-*.parquet")
+        sh.copy(orphan_file, f"{work}/out_rec/part-99999-orphan.parquet")
+        assert read_sink(f"{work}/out_rec") == reference  # orphan ignored
     finally:
         shutil.rmtree(work, ignore_errors=True)
         for c, v in saved.items():
