@@ -398,8 +398,11 @@ def cap_bucket_size(
     join. A bucket of b docs contributes b(b−1)/2 candidate pairs, so one
     boilerplate bucket (site chrome, license headers) dominates the whole
     join at scale; capped buckets are overwhelmingly such boilerplate and
-    belong in a separate exact-dedup track. ``None`` disables (the
-    oracle-checked queries run uncapped so DuckDB can reproduce them).
+    belong in a separate exact-dedup track. ``None`` disables. Since
+    round 7 the MinHash-LSH paths default to DEFAULT_LSH_MAX_BUCKET —
+    the oracle-checked queries run WITH the cap, which is measured inert
+    on every gate corpus (plans/dedup.py module docstring), so DuckDB
+    still reproduces them exactly.
     """
     if max_bucket is None:
         return banded
