@@ -1,0 +1,74 @@
+"""Negative controls for the local gate emulation (tools/check_oracle.py):
+a verification harness that cannot FAIL is vacuous, so pin that compare()
+actually detects each mismatch class the driver's hash would catch — and
+that it stays order-insensitive for genuinely equal results."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_oracle import compare  # noqa: E402
+
+
+class FakeSparkDF:
+    """Just enough surface for compare(): .columns and .toPandas()."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self._pdf = pdf
+
+    @property
+    def columns(self):
+        return list(self._pdf.columns)
+
+    def toPandas(self) -> pd.DataFrame:
+        return self._pdf.copy()
+
+
+def _spark(**cols):
+    return FakeSparkDF(pd.DataFrame(cols))
+
+
+def test_equal_results_pass_regardless_of_row_and_column_order():
+    s = _spark(k=[1, 2, 3], v=[10.0, 20.0, 30.0])
+    d = pd.DataFrame({"v": [30.0, 10.0, 20.0], "k": [3, 1, 2]})
+    assert compare("q", s, d) == []
+
+
+def test_column_rename_detected():
+    s = _spark(k=[1], total=[2])
+    d = pd.DataFrame({"k": [1], "sum_v": [2]})
+    assert any("columns differ" in p for p in compare("q", s, d))
+
+
+def test_row_count_mismatch_detected():
+    s = _spark(k=[1, 2])
+    d = pd.DataFrame({"k": [1]})
+    assert any("row count differs" in p for p in compare("q", s, d))
+
+
+def test_value_mismatch_detected():
+    s = _spark(k=[1, 2], v=["a", "b"])
+    d = pd.DataFrame({"k": [1, 2], "v": ["a", "c"]})
+    assert any("mismatches" in p for p in compare("q", s, d))
+
+
+def test_int_vs_float_dtype_kind_is_a_hard_fail():
+    # the driver's exact value-hash sees 376 vs 376.0 as different (the
+    # DuckDB HUGEINT-sum artifact) — compare() must refuse, not coerce
+    s = _spark(k=[1], v=pd.array([376], dtype="int64"))
+    d = pd.DataFrame({"k": [1], "v": [376.0]})
+    assert any("dtype kind mismatch" in p for p in compare("q", s, d))
+
+
+def test_float_drift_beyond_tolerance_detected():
+    s = _spark(k=[1], v=[1.0])
+    d = pd.DataFrame({"k": [1], "v": [1.0 + 1e-6]})
+    assert any("float mismatches" in p for p in compare("q", s, d))
+    # and within the 1e-9 band it passes (summation-order noise)
+    d_ok = pd.DataFrame({"k": [1], "v": [1.0 + 1e-12]})
+    assert compare("q", s, d_ok) == []
