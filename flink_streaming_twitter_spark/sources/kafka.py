@@ -27,6 +27,23 @@ DEFAULT_TOPIC = "tweeter-topic"
 WATERMARK_DELAY = "300 seconds"  # Main.java:66 Time.seconds(300)
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The Kafka reader options as data, split out so the wiring is
+    unit-testable without a broker or the kafka connector jar (neither
+    exists in the test container): the consumer config the reference
+    builds imperatively (Main.java:57-61 — bootstrap list, topic
+    subscription) expressed as Spark source options."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_tweet_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -37,9 +54,7 @@ def kafka_tweet_stream(
     SimpleStringSchema analog, Main.java:61)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_options(bootstrap_servers, topic, starting_offsets))
         .load()
         .select(F.col("value").cast("string").alias("raw_json"))
     )

@@ -47,3 +47,36 @@ def test_no_hashtags_yields_empty_array_not_null(spark):
     df = spark.createDataFrame([("plain text",)], ["text"])
     [r] = df.select(hashtags(F.col("text")).alias("h")).collect()
     assert r.h == []
+
+
+def test_kafka_wiring_options_match_reference_consumer_config(spark):
+    """The Kafka source options, pinned as data (no broker/connector jar
+    exists here, so load() can never run): bootstrap list passes through
+    verbatim (Main.java:57-59's 3-broker list), the subscription is the
+    reference topic (Main.java:61), and offsets default to latest — the
+    live-firehose behavior of a consumer group with no committed
+    offsets. Also pins that kafka_tweet_stream reaches DataSource
+    resolution with format 'kafka': in this container that resolution
+    must fail with the missing-kafka-source error, not a misconfig."""
+    import pytest
+
+    from flink_streaming_twitter_spark.sources.kafka import (
+        DEFAULT_TOPIC,
+        kafka_options,
+        kafka_tweet_stream,
+    )
+
+    brokers = "10.0.0.1:9092,10.0.0.2:9092,10.0.0.3:9092"
+    opts = kafka_options(brokers)
+    assert opts == {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": DEFAULT_TOPIC,
+        "startingOffsets": "latest",
+    }
+    assert kafka_options(brokers, topic="t2", starting_offsets="earliest")[
+        "startingOffsets"
+    ] == "earliest"
+
+    with pytest.raises(Exception) as ei:
+        kafka_tweet_stream(spark, brokers)
+    assert "kafka" in str(ei.value).lower()
