@@ -45,13 +45,20 @@ HASHTAG_COUNT_SCHEMA = T.StructType(
 
 # Sink record (InfluxDBPoint.java:24-27). The reference's fields map is
 # Map<String,Object> but only ever holds String/Long (Main.java:230-231,
-# 259, 274), so MAP<STRING,STRING> plus formatting loses nothing.
+# 259, 274); tags are always strings in line protocol so they ship as a
+# string map, while fields keep their NATIVE column types in a struct —
+# influxdb-java renders the reference's Long as `count=5i`, and InfluxDB
+# types a field on first write, so stringifying counts would break the
+# dashboards. The fields struct is per-measurement; this constant pins
+# the shape of the four reference measurements (all one BIGINT `count`).
 INFLUX_POINT_SCHEMA = T.StructType(
     [
         T.StructField("measurement", T.StringType()),
         T.StructField("ts", T.TimestampType()),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "fields", T.StructType([T.StructField("count", T.LongType())])
+        ),
     ]
 )
 

@@ -29,14 +29,21 @@ def to_influx_points(
     field_cols: dict[str, str],
 ) -> DataFrame:
     """Shape a result DataFrame as sink-ready points (measurement, ts,
-    tags MAP, fields MAP) — the M1-M4 mappers (Main.java:222-277) as one
-    parameterized projection."""
+    tags MAP, fields STRUCT) — the M1-M4 mappers (Main.java:222-277) as
+    one parameterized projection.
+
+    Tags are always strings in line protocol, so they ship as
+    MAP<STRING,STRING>. Fields keep each source column's NATIVE type in a
+    typed struct: the reference puts ``Long`` values into its fields map
+    (Main.java:230-231) and influxdb-java renders them as ``count=5i``;
+    stringifying here would make InfluxDB type the field as string on
+    first write and break every numeric dashboard query. ``influx_line``
+    renders the struct by Python type (int → ``5i``, float → ``5.0``,
+    str → quoted)."""
     tags = F.create_map(
         *[x for k, c in tag_cols.items() for x in (F.lit(k), F.col(c).cast("string"))]
     )
-    fields = F.create_map(
-        *[x for k, c in field_cols.items() for x in (F.lit(k), F.col(c).cast("string"))]
-    )
+    fields = F.struct(*[F.col(c).alias(k) for k, c in field_cols.items()])
     return df.select(
         F.lit(measurement).alias("measurement"),
         F.col(ts_col).alias("ts"),
@@ -49,13 +56,41 @@ def _escape(s: str) -> str:
     return s.replace(",", r"\,").replace(" ", r"\ ").replace("=", r"\=")
 
 
+def _as_dict(v) -> dict:
+    """A tags/fields cell → plain dict: accepts a struct Row (typed
+    fields), a MAP cell, or an already-plain dict; None → {}."""
+    if v is None:
+        return {}
+    return v.asDict() if hasattr(v, "asDict") else dict(v)
+
+
+def _field_value(v) -> str:
+    """Render one field value per line protocol: integers carry the ``i``
+    suffix (the typing the reference gets from influxdb-java rendering
+    its Long fields, Main.java:230-231), floats are bare, booleans are
+    ``true``/``false``, everything else is a quoted string with ``\\``
+    and ``\"`` escaped."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f"{v}i"
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{s}"'
+
+
 def influx_line(measurement: str, tags: dict, fields: dict, ts_ns: int) -> str:
     """One InfluxDB line-protocol record (the wire format the reference's
-    influxdb-java client produces from a Point)."""
+    influxdb-java client produces from a Point). ``tags``/``fields``
+    accept plain dicts or struct Rows; None-valued fields are dropped
+    (line protocol has no null)."""
+    tags, fields = _as_dict(tags), _as_dict(fields)
     tag_part = "".join(f",{_escape(k)}={_escape(str(v))}" for k, v in sorted(tags.items()))
     field_part = ",".join(
-        f"{_escape(k)}={v}" if isinstance(v, (int, float)) else f'{_escape(k)}="{v}"'
+        f"{_escape(k)}={_field_value(v)}"
         for k, v in sorted(fields.items())
+        if v is not None
     )
     return f"{_escape(measurement)}{tag_part} {field_part} {ts_ns}"
 
@@ -77,8 +112,8 @@ def influx_lines_foreach_batch(
         lines = [
             influx_line(
                 r["measurement"],
-                dict(r["tags"] or {}),
-                dict(r["fields"] or {}),
+                r["tags"],
+                r["fields"],
                 int(r["ts"].timestamp() * 1_000_000_000),
             )
             for r in rows
@@ -124,8 +159,8 @@ def influx_lines_foreach_partition(
             lines = [
                 influx_line(
                     r["measurement"],
-                    dict(r["tags"] or {}),
-                    dict(r["fields"] or {}),
+                    r["tags"],
+                    r["fields"],
                     int(r["ts"].timestamp() * 1_000_000_000),
                 )
                 for r in rows

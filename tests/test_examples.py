@@ -139,12 +139,17 @@ def test_twitter_stream_app_fans_out_four_pipelines(spark):
         assert any(
             p.tags["hashtag"] == "#spark" for p in collected["TrendingHashTagFlink1"]
         )
-        # running total converges to every tweet seen
-        totals = [int(p.fields["count"]) for p in collected["TotalTweetCountFlink"]]
+        # running total converges to every tweet seen; the count field
+        # arrives as a native int (typed struct), not a string
+        totals = [p.fields["count"] for p in collected["TotalTweetCountFlink"]]
+        assert all(isinstance(t, int) for t in totals)
         assert max(totals) == len(rows) + len(flush)
         p = collected["TweetPerSecondCountFlink"][0]
         line = influx_line(p.measurement, p.tags, p.fields, 0)
         assert line.startswith("TweetPerSecondCountFlink")
+        # typed line protocol: integer fields carry the `i` suffix, the
+        # rendering influxdb-java gives the reference's Long fields
+        assert f'count={p.fields["count"]}i' in line
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -498,14 +498,24 @@ def test_influx_point_shaping_and_line_protocol(spark):
     )
     [p] = pts.collect()
     assert p.measurement == "TrendingHashTagFlink1"
-    assert p.tags == {"hashtag": "a"} and p.fields == {"count": "5"}
+    # fields keep the column's native type (here LongType → Python int):
+    # the reference ships Long (Main.java:230-231) and influxdb-java
+    # renders it with the integer suffix, count=5i — a stringified count
+    # would make InfluxDB type the field as string on first write
+    assert p.tags == {"hashtag": "a"} and p.fields.asDict() == {"count": 5}
     line = influx_line(p.measurement, p.tags, p.fields, 1704067200_000_000_000)
-    assert line == 'TrendingHashTagFlink1,hashtag=a count="5" 1704067200000000000'
+    assert line == "TrendingHashTagFlink1,hashtag=a count=5i 1704067200000000000"
 
 
-def test_influx_line_escapes_specials():
+def test_influx_line_escapes_specials_and_types_values():
     line = influx_line("m x", {"t a": "v,1"}, {"f": 2}, 1)
-    assert line == r"m\ x,t\ a=v\,1 f=2 1"
+    assert line == r"m\ x,t\ a=v\,1 f=2i 1"
+    # float: bare; string: quoted with backslash/quote escapes; bool:
+    # line-protocol literal; None field dropped
+    line = influx_line(
+        "m", {}, {"f": 2.5, "s": 'a"b\\c', "b": True, "n": None}, 7
+    )
+    assert line == 'm b=true,f=2.5,s="a\\"b\\\\c" 7'
 
 
 def test_transform_with_state_dedup_keep_first(spark):
@@ -2122,7 +2132,7 @@ def test_influx_partitioned_writer_ships_every_line_from_executors(spark):
             influx_line(
                 "TrendingHashTagFlink1",
                 {"hashtag": f"tag{i}"},
-                {"count": str(i * 10)},
+                {"count": i * 10},  # typed: renders as count=<n>i
                 int((BASE + dt.timedelta(seconds=i)).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000_000),
             )
             for i in range(7)
