@@ -13,6 +13,16 @@ occupancy 4 at sf0.1, 8 at x100, vs cap 1024 — SCALE.md), so the
 oracle-verified configuration IS the deploy configuration, and if a
 future corpus ever grew an oversized bucket the hash mismatch would
 surface here rather than silently diverging.
+
+The cap's FILTERING semantics are oracle-verified separately by
+dedup_minhash_lsh_capped: it runs with a deliberately binding cap
+(LSH_CAP_BINDING=2 — the gate corpora have occupancy-3 buckets, so rows
+genuinely differ from the uncapped entry: 25 vs 22 pairs at sf0.01)
+against an oracle that reproduces the occupancy filter in SQL (a
+HAVING-count CTE before the band self-join). tests/test_dedup.py
+additionally asserts the default cap stays inert on the gate fixture so
+a future corpus that grows an oversized bucket fails with a clear
+occupancy message instead of an opaque hash mismatch.
 """
 
 from __future__ import annotations
@@ -41,6 +51,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=P.MINHASH_BANDS,
         est_threshold=P.MINHASH_EST_THRESHOLD,
         shingle_k=P.SHINGLE_K,
+    )
+
+
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINDING-cap variant of dedup_minhash_lsh: same banding, same
+    estimated-Jaccard filter, but max_bucket=LSH_CAP_BINDING (2), chosen
+    so the cap genuinely drops buckets on the gate corpora (occupancy-3
+    buckets exist at sf0.001/sf0.01 — plans/params.py). The oracle
+    reproduces the occupancy filter in SQL, so the driver hash certifies
+    cap_bucket_size's filtering semantics end-to-end — the deploy-default
+    entries only certify the cap when it is inert (module docstring)."""
+    return D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD,
+        shingle_k=P.SHINGLE_K,
+        max_bucket=P.LSH_CAP_BINDING,
     )
 
 
@@ -154,6 +182,7 @@ DEDUP_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_60bit": dedup_ngram_jaccard_60bit,
     "dedup_lsh_exact": dedup_lsh_exact,
@@ -204,7 +233,11 @@ def _minhash_sig_sql(num_perm: int) -> str:
     return f"sigs AS (\n  SELECT doc_id,\n    {mins}\n  FROM shingles GROUP BY doc_id\n)"
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(cap: int | None = None) -> str:
+    """``cap``: reproduce cap_bucket_size in SQL — drop (band, sig)
+    buckets with more than ``cap`` members before the band self-join
+    (the dedup_minhash_lsh_capped oracle). None = uncapped (the
+    deploy-default entries, where the cap is measured inert)."""
     n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
     rows = n // bands
     band_selects = "\n  UNION ALL\n".join(
@@ -213,16 +246,28 @@ def _minhash_lsh_sql() -> str:
         )
         for b in range(bands)
     )
+    cap_cte = (
+        f""",
+oversized AS (
+  SELECT band, sig FROM banded GROUP BY band, sig HAVING count(*) > {cap}
+),
+banded_kept AS (
+  SELECT b.* FROM banded b ANTI JOIN oversized o USING (band, sig)
+)"""
+        if cap is not None
+        else ""
+    )
+    join_src = "banded_kept" if cap is not None else "banded"
     eq_sum = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
     return f"""
 WITH {_SHINGLES},
 {_minhash_sig_sql(n)},
 banded AS (
 {band_selects}
-),
+){cap_cte},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM {join_src} a JOIN {join_src} b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b, ({eq_sum}) / {float(n)} AS est_jaccard
@@ -393,6 +438,7 @@ def dedup_oracles() -> dict[str, str]:
         # reproduce plain propagation's answer exactly
         "dedup_clusters_star": _clusters_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_minhash_lsh_capped": _minhash_lsh_sql(cap=P.LSH_CAP_BINDING),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(31),
         "dedup_ngram_jaccard_60bit": _ngram_jaccard_sql(60),
         "dedup_lsh_exact": _lsh_exact_sql(),

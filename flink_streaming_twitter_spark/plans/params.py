@@ -36,6 +36,13 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 MINHASH_EST_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
+# A deliberately BINDING bucket cap for the dedup_minhash_lsh_capped gate
+# entry: the gate corpora have band buckets of occupancy 3 (4 buckets at
+# sf0.01, measured r8), so cap=2 genuinely drops buckets there and the
+# driver hash certifies the cap's *filtering semantics*, not just the
+# inert deploy default (DEFAULT_LSH_MAX_BUCKET=1024, ~250x above any
+# genuine near-dup bucket). 25 -> 22 pairs at sf0.01; 28 -> 22 at sf0.001.
+LSH_CAP_BINDING = 2
 
 # similarity search
 ANN_NUM_QUERIES = 5  # vec_id < 5 are the query vectors

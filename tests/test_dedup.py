@@ -215,3 +215,54 @@ def test_lsh_default_cap_loses_only_oversized_bucket_pairs(spark):
     assert {r.occupancy for r in dropped} == {12}
     assert len(dropped) == P.MINHASH_BANDS
     sigs.unpersist()
+
+
+def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
+    """Two facts about the cap on the REAL gate corpus (sf0.001):
+
+    1. The deploy default (DEFAULT_LSH_MAX_BUCKET) is INERT — max band-
+       bucket occupancy is far below it. The gate's deploy-default LSH
+       entries verify against UNCAPPED oracles (plans/dedup.py module
+       docstring), which is only sound while this holds; if corpus
+       regeneration ever grows an oversized bucket this assertion fails
+       with the occupancy number instead of an opaque driver hash
+       mismatch.
+    2. LSH_CAP_BINDING genuinely binds there — dedup_minhash_lsh_capped
+       returns strictly fewer pairs than the uncapped form, so its green
+       driver row certifies the cap's filtering semantics, not a no-op.
+    """
+    from conftest import SF_DIR
+
+    from flink_streaming_twitter_spark.operators.dedup import (
+        DEFAULT_LSH_MAX_BUCKET,
+        banded_signatures,
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(doc_shingle_sets(docs, k=P.SHINGLE_K), P.MINHASH_PERMS)
+    banded = banded_signatures(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS)
+    max_occ = banded.groupBy("band", "sig").count().agg({"count": "max"}).collect()[0][0]
+    assert max_occ < DEFAULT_LSH_MAX_BUCKET, (
+        f"gate corpus grew a band bucket of occupancy {max_occ} >= cap "
+        f"{DEFAULT_LSH_MAX_BUCKET}: the deploy-default LSH entries verify "
+        "against UNCAPPED oracles and are no longer comparable — parameterize "
+        "their oracles with the occupancy filter (see _minhash_lsh_sql(cap=))"
+    )
+    # the binding gate entry must actually drop something (occupancy-3
+    # buckets exist: 28 -> 22 pairs at sf0.001, measured r8)
+    assert max_occ > P.LSH_CAP_BINDING
+    uncapped = minhash_lsh_dedup(
+        docs, num_perm=P.MINHASH_PERMS, bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD, shingle_k=P.SHINGLE_K,
+        max_bucket=None,
+    ).count()
+    capped = minhash_lsh_dedup(
+        docs, num_perm=P.MINHASH_PERMS, bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD, shingle_k=P.SHINGLE_K,
+        max_bucket=P.LSH_CAP_BINDING,
+    ).count()
+    assert capped < uncapped
