@@ -409,10 +409,15 @@ def cap_bucket_size(
     # Anti-join against the OVERSIZED key set, not semi-join against the
     # small-bucket set: oversized buckets are few by definition (zero on
     # every measured corpus, ~1 per boilerplate family otherwise), so the
-    # broadcast build side is near-empty and the probe side never
-    # shuffles for this join — measured 1.7 s → 1.2 s on the sf0.1
-    # minhash path vs the semi-join form, and the occupancy aggregate
-    # (one row per bucket) is the only real cost left.
+    # broadcast build side is near-empty regardless of corpus size,
+    # where a semi-join's build side is the full bucket-key set (grows
+    # with the corpus and eventually stops broadcasting). At sf0.1 the
+    # forms are equal within noise — quiet-machine min-over-2: anti
+    # 1.03 s, semi 1.12 s, uncapped 1.19 s (SCALE.md "cap filter cost",
+    # r8); the earlier 1.7 s-class readings were cold-JIT first passes.
+    # The anti-join is chosen for the structural build-side bound, and
+    # the occupancy aggregate (one row per bucket) is the cap's only
+    # real cost.
     over = (
         banded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
