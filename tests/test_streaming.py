@@ -2142,3 +2142,78 @@ def test_influx_partitioned_writer_ships_every_line_from_executors(spark):
         assert 1 < len(glob.glob(os.path.join(d, "*"))) <= 3  # per-partition POSTs
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_processing_time_trigger_fits_5s_envelope(spark):
+    """BASELINE.md's only latency contract, pinned against the REAL
+    trigger: the reference refreshes every 5 s (processing-time trigger,
+    Main.java:88), which holds only if each trigger's processing fits
+    inside the interval. The gate drains use availableNow (right for
+    deterministic oracles), so this is the one test that runs an actual
+    ``trigger(processingTime="5 seconds")`` query — sf0.01 events split
+    into 3 time-ordered files, one per micro-batch — and asserts every
+    data batch's ``triggerExecution`` duration stays under the 5 s
+    envelope, read from ``recentProgress`` (not hand-pinned)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.sources.files import load_table
+    from flink_streaming_twitter_spark.streaming.runner import start_query
+
+    sf_dir = "/root/testdata/sf0.01"
+    load_table(spark, sf_dir, "events")  # nanosAsLong/UTC session confs
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="cadence_")
+    try:
+        table = pq.read_table(src).sort_by([("ts", "ascending")])
+        n = table.num_rows
+        for i in range(3):
+            lo, hi = i * n // 3, (i + 1) * n // 3
+            path = os.path.join(d, f"events_{i:03d}.parquet")
+            pq.write_table(table.slice(lo, hi - lo), path)
+            os.utime(path, (1_000_000_000 + i * 3600,) * 2)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        pipe = StreamingPipelines(stream, "ts", "event_type")
+        plan = pipe.windowed_counts(
+            f"{P.TREND_SIZE_S} seconds", f"{P.TREND_SLIDE_S} seconds"
+        )
+        q = start_query(
+            plan,
+            name="cadence_probe",
+            output_mode="update",
+            trigger_interval="5 seconds",
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                data_batches = [
+                    p for p in q.recentProgress if p["numInputRows"] > 0
+                ]
+                if len(data_batches) >= 3:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert len(data_batches) >= 3, "expected 3 data micro-batches (one per file)"
+        for p in data_batches:
+            exec_ms = p["durationMs"]["triggerExecution"]
+            assert exec_ms < 5_000, (
+                f"batch {p['batchId']} took {exec_ms} ms — the 5 s "
+                "processing-time cadence cannot hold"
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView("cadence_probe")
+        except Exception:
+            pass
