@@ -448,7 +448,18 @@ def simhash_near_pairs(
     """(doc_a, doc_b, hamming) for pairs within Hamming distance
     max_hamming, via 4×15-bit band blocking (pigeonhole-complete for
     max_hamming ≤ 3) + exact xor/bit_count verification. ``max_bucket``
-    (opt-in) drops oversized band buckets — see cap_bucket_size."""
+    (opt-in) drops oversized band buckets — see cap_bucket_size.
+
+    OUTPUT MANAGEMENT AT SCALE: the raw pair stream is output-bound by
+    design — near-dup CLUSTERS of size c emit c(c−1)/2 pairs, so pair
+    counts grow super-linearly on correlated corpora (measured 271,530
+    at sf0.1 → 7.68 M at ×10 → 40.1 M at ×100 h=1; SCALE.md). Do NOT
+    ship the pair stream as a deliverable: the deploy composition is
+    pairs → ``operators.graph.connected_components`` → one
+    representative per cluster (keep = min doc_id), exactly like
+    ``dedup_clusters`` does for the MinHash evidence — output then
+    scales with the number of DOCUMENTS, not pairs. Pinned by
+    ``test_simhash_pairs_collapse_to_cluster_representatives``."""
     # persist the 1-row/doc fingerprint table across the self-join's two
     # sides: AQE re-plans the subtrees independently so ReuseExchange does
     # not fire, and recomputing the 60-sum vote aggregate twice measured

@@ -266,3 +266,43 @@ def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
         max_bucket=P.LSH_CAP_BINDING,
     ).count()
     assert capped < uncapped
+
+
+def test_simhash_pairs_collapse_to_cluster_representatives(spark):
+    """The documented SimHash DEPLOY composition (SCALE.md): raw
+    Hamming<=h pairs are output-bound (a cluster of c docs emits
+    c(c-1)/2 pairs), so the deliverable is pairs -> connected components
+    -> one representative per cluster, never the pair stream itself.
+    Corpus: two near-dup families (0/1/2/3 and the 12 identical
+    boilerplate docs) -> the composition must collapse each family to
+    ONE kept representative (min doc_id) with output rows == documents,
+    not pairs."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.operators.graph import connected_components
+
+    boiler = [(100 + i, "copyright acme corp all rights reserved terms apply") for i in range(12)]
+    docs = spark.createDataFrame(DOCS + boiler, ["doc_id", "text"])
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    n_pairs = pairs.count()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, nodes=docs.select(F.col("doc_id").alias("id")))
+    out = comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_kept"),
+    )
+    rows = out.collect()
+    # output scales with documents, not pairs (the boilerplate family
+    # alone contributes C(12,2)=66 pairs but exactly 12 output rows)
+    assert len(rows) == len(DOCS) + len(boiler) < n_pairs
+    kept = {r.doc_id for r in rows if r.is_kept}
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # every cluster keeps exactly its min doc_id
+    assert all(min(members) in kept for members in clusters.values())
+    assert all(r.cluster_id == min(clusters[r.cluster_id]) for r in rows)
+    # the boilerplate family collapsed to one representative (doc 100)
+    assert clusters[100] >= set(range(100, 112))
+    assert 100 in kept and not (kept & set(range(101, 112)))
