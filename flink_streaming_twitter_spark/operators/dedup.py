@@ -247,9 +247,17 @@ def lsh_verified_jaccard(
     candidate): (doc_a, doc_b, jaccard), jaccard ≥ threshold exact.
 
     vs ngram_jaccard_pairs (exact all-pairs): this trades bounded recall
-    (a true pair missed only if it collides in no band — P(miss) =
-    (1−J^rows)^bands, <3% at J=0.7 with 4×4) for candidate cost that does
-    NOT grow with shared-shingle density — the measured 10× stress showed
+    for candidate cost that does NOT grow with shared-shingle density.
+    The recall bound has TWO terms since the default bucket cap
+    (round 7): a true pair is missed if it collides in no band —
+    P(miss) = (1−J^rows)^bands, <3% at J=0.7 with 4×4 — OR if its every
+    band collision lands in a bucket larger than ``max_bucket`` (such
+    pairs are dropped silently; on genuine data this term is zero —
+    the cap is ~250× above measured occupancy — and it targets only
+    boilerplate families, which belong to the exact-dedup track). For
+    deploy loss accounting, run ``oversized_buckets`` on the same
+    banded input and sink the dropped keys/occupancies to the
+    pipeline's metrics table. The measured 10× stress showed
     the exact join's candidates grow ~quadratically on correlated corpora
     while LSH buckets stay linear, and the round-5 ×100 stress confirmed
     it at a second decade: 29.9 s vs the sized exact join's 334.7 s on

@@ -18,7 +18,18 @@ def test_manifest_cells_are_callable_and_documented():
     for name, (fn, reqs, desc) in scale_suite.MANIFEST.items():
         assert callable(fn), name
         assert isinstance(desc, str) and desc, name
-        assert all(isinstance(d, str) for d in reqs), name
+        # reqs are per-TABLE "dir/table" markers (ADVICE r7: a partial
+        # corpus must skip cells needing the missing table, so the gate
+        # requires all() of these): each must name a known corpus dir
+        # and a known table
+        for r in reqs:
+            d, t = r.rsplit("/", 1)
+            assert d in (scale_suite.X10, scale_suite.X100), (name, r)
+            assert t in ("documents", "events", "embeddings"), (name, r)
+    # every non-build cell declares at least one required table
+    for name, (_fn, reqs, _desc) in scale_suite.MANIFEST.items():
+        if not name.startswith("build_"):
+            assert reqs, name
 
 
 def test_groups_reference_existing_cells():

@@ -77,6 +77,22 @@ def test_kafka_wiring_options_match_reference_consumer_config(spark):
         "startingOffsets"
     ] == "earliest"
 
+    # Sandbox-only half: with no spark-sql-kafka connector jar, the
+    # stream must fail AT DataSource resolution (proving the wiring gets
+    # that far), with the missing-kafka-source error rather than a
+    # misconfig. In the documented production setup (spark-submit
+    # --packages spark-sql-kafka) readStream.load() succeeds lazily, so
+    # guard on the connector actually being absent (ADVICE r7) — the
+    # pure kafka_options assertions above run unconditionally.
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        kafka_present = True
+    except Exception:
+        kafka_present = False
+    if kafka_present:
+        pytest.skip("kafka connector jar present: resolution succeeds lazily")
     with pytest.raises(Exception) as ei:
         kafka_tweet_stream(spark, brokers)
     assert "kafka" in str(ei.value).lower()

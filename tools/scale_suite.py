@@ -514,16 +514,22 @@ def lsh_bucket_cap_x100(spark) -> None:
 # ---------------------------------------------------------------- driver
 
 MANIFEST: dict[str, tuple] = {
-    # name: (fn, required corpus dirs, description)
+    # name: (fn, required corpus tables as "dir/table" markers, description).
+    # Per-cell TABLE granularity (ADVICE r7): a partially built corpus —
+    # e.g. documents present but embeddings missing after an interrupted
+    # build — must SKIP the cells that need the missing table (with the
+    # rebuild hint) instead of letting them start and crash mid-run. The
+    # gate requires ALL of a cell's declared tables, mirroring the
+    # _SUCCESS-gated per-table check the build cells already do.
     "build_x10": (build_x10, (), "build the 10x replica in /tmp/sf1 (all tables)"),
     "build_x100": (build_x100, (), "build 100x documents/events/embeddings in /tmp/sf10"),
-    "dedup_x10": (dedup_x10, (X10,), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
-    "streams_x10": (streams_x10, (X10,), "five multi-batch drains + multimodal kernel at 10x"),
-    "dedup_x100": (dedup_x100, (X100,), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
-    "ann_x100": (ann_x100, (X100,), "IVF sizing contrast + LSH/brute ANN at 100x"),
-    "streams_x100": (streams_x100, (X100,), "heaviest drains at 100x events"),
-    "recall_denominator_x100": (recall_denominator_x100, (X100,), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
-    "lsh_bucket_cap_x100": (lsh_bucket_cap_x100, (X100,), "band-bucket occupancy and default-cap pair loss at 100x"),
+    "dedup_x10": (dedup_x10, (f"{X10}/documents",), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
+    "streams_x10": (streams_x10, (f"{X10}/events", f"{X10}/documents"), "five multi-batch drains + multimodal kernel at 10x"),
+    "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
+    "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
+    "streams_x100": (streams_x100, (f"{X100}/events",), "heaviest drains at 100x events"),
+    "recall_denominator_x100": (recall_denominator_x100, (f"{X100}/documents",), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
+    "lsh_bucket_cap_x100": (lsh_bucket_cap_x100, (f"{X100}/documents",), "band-bucket occupancy and default-cap pair loss at 100x"),
 }
 
 GROUPS = {
@@ -554,13 +560,12 @@ def main(argv: list[str]) -> int:
     try:
         for name in cells:
             fn, reqs, _ = MANIFEST[name]
-            missing = [
-                d for d in reqs
-                if not any(_built(os.path.join(d, f"{t}.parquet"))
-                           for t in ("documents", "events", "embeddings"))
-            ]
+            # ALL declared tables must be _SUCCESS-complete — a partial
+            # corpus skips the cell with the rebuild hint rather than
+            # starting and crashing mid-run
+            missing = [r for r in reqs if not _built(f"{r}.parquet")]
             if missing:
-                emit(name, skip=True, reason=f"missing corpus {missing}; run the build cell first")
+                emit(name, skip=True, reason=f"missing corpus tables {missing}; run the build cell first")
                 continue
             fn(spark)
     finally:
