@@ -161,11 +161,15 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
 
 def test_bucket_cap_plans_broadcast_anti_join(spark, sf_dir):
     """The default LSH bucket-cap filter must stay a BROADCAST anti-join
-    against the (near-empty) oversized-key set — a shuffled anti-join or
-    a semi-join against the full small-bucket set would re-introduce the
-    ~0.6 s/query fixed overhead the round-7 rewrite removed. Pinned on
-    the capped candidate-pair plan: exactly one LeftAnti join, planned
-    broadcast, and no SortMergeJoin variant of it."""
+    against the (near-empty) oversized-key set. The win is STRUCTURAL,
+    not a local-SF speedup (the r8 quiet draw measured anti/semi/uncapped
+    equal within noise at sf0.1 — SCALE.md "cap filter cost"): the
+    anti-join's build side is the oversized-key set, near-empty at any
+    corpus size, while a semi-join builds over the full bucket-key set,
+    which grows with the corpus and eventually stops broadcasting — and
+    a shuffled anti-join would re-shuffle the whole banded table. Pinned
+    on the capped candidate-pair plan: exactly one LeftAnti join,
+    planned broadcast, and no SortMergeJoin variant of it."""
     from flink_streaming_twitter_spark.operators import dedup as D
     from flink_streaming_twitter_spark.plans import params as P
     from flink_streaming_twitter_spark.sources.files import load_table
