@@ -11,6 +11,16 @@ external service is needed.
 Delivery semantics: at-least-once, matching the reference (no
 checkpoint-coordinated transactional sink there either — Main.java:50-55
 has checkpointing commented out).
+
+UPGRADE NOTE (typed fields, round 8): releases before the typed-struct
+fields shipped counts as quoted strings (``count="5"``), which made
+InfluxDB type the field as STRING at first write. InfluxDB field types
+are fixed per measurement once written, so pointing the typed writer
+(``count=5i``) at a database that already holds string-typed counts
+produces per-point "field type conflict" partial-write errors for the
+affected measurements. Write to a fresh database/retention policy (or
+drop the four reference measurements) when upgrading an existing
+deployment; fresh deployments are unaffected.
 """
 
 from __future__ import annotations
@@ -84,7 +94,14 @@ def influx_line(measurement: str, tags: dict, fields: dict, ts_ns: int) -> str:
     """One InfluxDB line-protocol record (the wire format the reference's
     influxdb-java client produces from a Point). ``tags``/``fields``
     accept plain dicts or struct Rows; None-valued fields are dropped
-    (line protocol has no null)."""
+    (line protocol has no null). A record with NO non-null fields raises
+    rather than serializing: line protocol requires at least one field,
+    InfluxDB answers 400 to a fieldless line — and since a batch ships
+    as one POST body, one invalid line would poison every line in the
+    batch. The reference's client enforces the same invariant
+    (influxdb-java's Point builder rejects an empty field map), so
+    failing loudly here matches it; filter null aggregates out before
+    the sink if they are expected (e.g. outer-join results)."""
     tags, fields = _as_dict(tags), _as_dict(fields)
     tag_part = "".join(f",{_escape(k)}={_escape(str(v))}" for k, v in sorted(tags.items()))
     field_part = ",".join(
@@ -92,6 +109,12 @@ def influx_line(measurement: str, tags: dict, fields: dict, ts_ns: int) -> str:
         for k, v in sorted(fields.items())
         if v is not None
     )
+    if not field_part:
+        raise ValueError(
+            f"influx_line: point for measurement {measurement!r} at ts {ts_ns} "
+            "has no non-null fields; line protocol requires at least one field "
+            "(a fieldless line would 400 the whole batch POST)"
+        )
     return f"{_escape(measurement)}{tag_part} {field_part} {ts_ns}"
 
 

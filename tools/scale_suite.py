@@ -523,7 +523,7 @@ MANIFEST: dict[str, tuple] = {
     # _SUCCESS-gated per-table check the build cells already do.
     "build_x10": (build_x10, (), "build the 10x replica in /tmp/sf1 (all tables)"),
     "build_x100": (build_x100, (), "build 100x documents/events/embeddings in /tmp/sf10"),
-    "dedup_x10": (dedup_x10, (f"{X10}/documents",), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
+    "dedup_x10": (dedup_x10, (f"{X10}/documents", f"{X10}/embeddings"), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
     "streams_x10": (streams_x10, (f"{X10}/events", f"{X10}/documents"), "five multi-batch drains + multimodal kernel at 10x"),
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
