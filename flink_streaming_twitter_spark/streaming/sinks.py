@@ -63,6 +63,13 @@ def to_influx_points(
 
 
 def _escape(s: str) -> str:
+    """Escape line-protocol delimiters in measurements/tags/field keys.
+    Known protocol limitation (shared by influxdb-java): the protocol
+    defines no escape for a literal backslash, so an identifier ENDING
+    in ``\\`` is ambiguous on the wire (``foo\\`` + ``,`` reads as an
+    escaped comma) — such identifiers are unrepresentable, not
+    mis-escaped here. The round-trip property test pins the full
+    representable domain (printable ASCII minus backslash/quote)."""
     return s.replace(",", r"\,").replace(" ", r"\ ").replace("=", r"\=")
 
 

@@ -639,3 +639,127 @@ def test_bucket_cap_characterization_matches_python_model(spark, texts, cap):
     }
     sigs.unpersist()
     assert capped == expected
+
+
+# ---------------------------------------------------------------- sink wire format
+
+# Identifiers (measurement, tag/field keys, tag values) exclude literal
+# backslash and double-quote: line protocol has NO escape for a
+# backslash, so an ident ending in `\` makes the following escaped
+# delimiter ambiguous (`foo\` + `,` serializes as `foo\,` = escaped
+# comma) — the protocol simply cannot represent them, and the
+# reference's influxdb-java client has the identical limitation. String
+# FIELD values keep both characters: they are quoted and escaped, which
+# IS unambiguous, and the property verifies it.
+_ident = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, exclude_characters='\\"'
+    ),
+    min_size=1,
+    max_size=12,
+)
+_field_val = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+)
+
+
+def _parse_influx_line(line: str):
+    """Minimal line-protocol parser (escape-aware) for the round-trip
+    property: measurement[,tag=v...] field=v[,field=v...] ts."""
+    out_meas, out_tags, out_fields = "", {}, {}
+    i, buf, parts = 0, [], []
+    # split top-level on unescaped spaces -> [ident+tags, fields, ts]
+    while i < len(line):
+        c = line[i]
+        if c == "\\" and i + 1 < len(line):
+            buf.append(line[i : i + 2]); i += 2; continue
+        if c == '"':  # quoted string: consume to closing quote
+            buf.append(c); i += 1
+            while i < len(line):
+                if line[i] == "\\" and i + 1 < len(line):
+                    buf.append(line[i : i + 2]); i += 2; continue
+                buf.append(line[i])
+                if line[i] == '"':
+                    i += 1; break
+                i += 1
+            continue
+        if c == " ":
+            parts.append("".join(buf)); buf = []; i += 1; continue
+        buf.append(c); i += 1
+    parts.append("".join(buf))
+    assert len(parts) == 3, parts
+
+    def _unesc(s: str) -> str:
+        return s.replace(r"\,", ",").replace(r"\ ", " ").replace(r"\=", "=")
+
+    def _split(s: str, sep: str) -> list:
+        segs, cur, j = [], [], 0
+        while j < len(s):
+            if s[j] == "\\" and j + 1 < len(s):
+                cur.append(s[j : j + 2]); j += 2; continue
+            if s[j] == '"':
+                cur.append(s[j]); j += 1
+                while j < len(s):
+                    if s[j] == "\\" and j + 1 < len(s):
+                        cur.append(s[j : j + 2]); j += 2; continue
+                    cur.append(s[j])
+                    if s[j] == '"':
+                        j += 1; break
+                    j += 1
+                continue
+            if s[j] == sep:
+                segs.append("".join(cur)); cur = []; j += 1; continue
+            cur.append(s[j]); j += 1
+        segs.append("".join(cur))
+        return segs
+
+    head = _split(parts[0], ",")
+    out_meas = _unesc(head[0])
+    for kv in head[1:]:
+        k, v = _split(kv, "=")
+        out_tags[_unesc(k)] = _unesc(v)
+    for kv in _split(parts[1], ","):
+        k, v = _split(kv, "=")
+        k = _unesc(k)
+        if v in ("true", "false"):
+            out_fields[k] = v == "true"
+        elif v.endswith("i"):
+            out_fields[k] = int(v[:-1])
+        elif v.startswith('"'):
+            out_fields[k] = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        else:
+            out_fields[k] = float(v)
+    return out_meas, out_tags, out_fields, int(parts[2])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    measurement=_ident,
+    tags=st.dictionaries(_ident, _ident, max_size=3),
+    fields=st.dictionaries(_ident, _field_val, min_size=1, max_size=4),
+    ts=st.integers(min_value=0, max_value=2**62),
+)
+def test_influx_line_round_trips_through_line_protocol(measurement, tags, fields, ts):
+    """Serialization property for the sink wire format: any point made of
+    printable-ASCII idents and int/float/bool/str field values must parse
+    back EXACTLY from the emitted line — measurement/tag escaping
+    (comma/space/equals), integer `i` suffixes, bool literals, and string
+    quoting with backslash/quote escapes are each round-trip-verified
+    rather than example-pinned. (Floats compare via repr round-trip,
+    which Python guarantees exact.)"""
+    from flink_streaming_twitter_spark.streaming.sinks import influx_line
+
+    line = influx_line(measurement, tags, fields, ts)
+    m, t, f, ts2 = _parse_influx_line(line)
+    assert m == measurement
+    assert t == {k: str(v) for k, v in tags.items()}
+    assert ts2 == ts
+    assert set(f) == set(fields)
+    for k, v in fields.items():
+        if isinstance(v, float) and not isinstance(v, bool):
+            assert f[k] == float(repr(v))
+        else:
+            assert f[k] == v
