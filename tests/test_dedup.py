@@ -217,8 +217,16 @@ def test_lsh_default_cap_loses_only_oversized_bucket_pairs(spark):
     sigs.unpersist()
 
 
-def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
-    """Two facts about the cap on the REAL gate corpus (sf0.001):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "corpus_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark, corpus_dir):
+    """Two facts about the cap on BOTH real gate corpora (sf0.001 — the
+    unit-test fixture — and sf0.01 — the SF the driver gate actually
+    hashes at):
 
     1. The deploy default (DEFAULT_LSH_MAX_BUCKET) is INERT — max band-
        bucket occupancy is far below it. The gate's deploy-default LSH
@@ -231,8 +239,6 @@ def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
        returns strictly fewer pairs than the uncapped form, so its green
        driver row certifies the cap's filtering semantics, not a no-op.
     """
-    from conftest import SF_DIR
-
     from flink_streaming_twitter_spark.operators.dedup import (
         DEFAULT_LSH_MAX_BUCKET,
         banded_signatures,
@@ -242,7 +248,7 @@ def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
     from flink_streaming_twitter_spark.plans import params as P
     from flink_streaming_twitter_spark.sources.files import load_table
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = load_table(spark, corpus_dir, "documents")
     sigs = minhash_signatures(doc_shingle_sets(docs, k=P.SHINGLE_K), P.MINHASH_PERMS)
     banded = banded_signatures(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS)
     max_occ = banded.groupBy("band", "sig").count().agg({"count": "max"}).collect()[0][0]
@@ -253,7 +259,8 @@ def test_default_cap_inert_and_binding_cap_diverges_on_gate_corpus(spark):
         "their oracles with the occupancy filter (see _minhash_lsh_sql(cap=))"
     )
     # the binding gate entry must actually drop something (occupancy-3
-    # buckets exist: 28 -> 22 pairs at sf0.001, measured r8)
+    # buckets exist: 28 -> 22 pairs at sf0.001, 25 -> 22 at sf0.01,
+    # measured r8)
     assert max_occ > P.LSH_CAP_BINDING
     uncapped = minhash_lsh_dedup(
         docs, num_perm=P.MINHASH_PERMS, bands=P.MINHASH_BANDS,
