@@ -25,6 +25,7 @@ deployment; fresh deployments are unaffected.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -125,6 +126,18 @@ def influx_line(measurement: str, tags: dict, fields: dict, ts_ns: int) -> str:
     return f"{_escape(measurement)}{tag_part} {field_part} {ts_ns}"
 
 
+def _ts_ns(ts) -> int:
+    """datetime → exact ns since epoch. ``int(ts.timestamp() * 1e9)``
+    is wrong for sub-second timestamps: float64 has ~256 ns ULP at
+    2024-epoch magnitude, so microsecond-resolution points land up to
+    ~40 ns off the wire value influxdb-java writes (measured; the
+    reference's whole-second window-end timestamps happen to be exact
+    either way). Split instead: the integer second through the float
+    (exact — the fraction is < 1 and cannot carry across the second
+    boundary) + the datetime's own microsecond field."""
+    return math.floor(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
+
+
 def influx_lines_foreach_batch(
     url: str | None = None,
     writer: Callable[[list[str]], None] | None = None,
@@ -144,7 +157,7 @@ def influx_lines_foreach_batch(
                 r["measurement"],
                 r["tags"],
                 r["fields"],
-                int(r["ts"].timestamp() * 1_000_000_000),
+                _ts_ns(r["ts"]),
             )
             for r in rows
         ]
@@ -191,7 +204,7 @@ def influx_lines_foreach_partition(
                     r["measurement"],
                     r["tags"],
                     r["fields"],
-                    int(r["ts"].timestamp() * 1_000_000_000),
+                    _ts_ns(r["ts"]),
                 )
                 for r in rows
             ]

@@ -525,6 +525,29 @@ def test_influx_line_escapes_specials_and_types_values():
         influx_line("m", {}, {}, 7)
 
 
+def test_influx_timestamp_conversion_is_exact_at_microsecond_resolution():
+    """The writers' datetime→ns conversion must be exact, not float:
+    int(ts.timestamp() * 1e9) is off by up to ~40 ns for sub-second
+    timestamps (float64 ULP ≈ 256 ns at 2024-epoch ×1e9 magnitude),
+    which would ship wire timestamps influxdb-java never produces.
+    Whole-second window ends are exact either way (sec·10⁹ = sec·5⁹·2⁹
+    keeps the odd part under 2⁵³) — pin the sub-second cases the float
+    path gets wrong, against integer-arithmetic expectations."""
+    from flink_streaming_twitter_spark.streaming.sinks import _ts_ns
+
+    base_s = 1704067200  # 2024-01-01T00:00:00Z
+    base = dt.datetime.fromtimestamp(base_s, dt.timezone.utc)
+    float_wrong = 0
+    for us in (0, 1, 123456, 333333, 777001, 999999):
+        t = base.replace(microsecond=us)
+        assert _ts_ns(t) == base_s * 10**9 + us * 1000
+        if int(t.timestamp() * 1_000_000_000) != _ts_ns(t):
+            float_wrong += 1
+    # the test only means something while the naive conversion is
+    # actually lossy on these inputs
+    assert float_wrong >= 3
+
+
 def test_transform_with_state_dedup_keep_first(spark):
     """State-API-v2 keep-first dedup: one output row per key across
     micro-batches; within-batch dup count reported; second sighting of a
