@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from flink_streaming_twitter_spark.operators.dedup import (
     exact_dedup,
     lsh_verified_jaccard,
@@ -215,9 +217,6 @@ def test_lsh_default_cap_loses_only_oversized_bucket_pairs(spark):
     assert {r.occupancy for r in dropped} == {12}
     assert len(dropped) == P.MINHASH_BANDS
     sigs.unpersist()
-
-
-import pytest
 
 
 @pytest.mark.parametrize(
