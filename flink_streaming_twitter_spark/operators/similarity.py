@@ -48,6 +48,19 @@ def _lit_array(vals: list[float]) -> F.Column:
     return F.array(*[F.lit(v) for v in vals])
 
 
+def _scorable(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows that cosine cannot score: NULL embeddings and all-zero
+    vectors (norm 0 ⇒ 0/0). Without this, a NULL vector flows through
+    ranking as ``sim=NULL`` rows (and through the sign-hash as a
+    spurious bucket 0, since ``NULL >= 0`` falls to the otherwise(0)
+    branch for every plane) — real corpora DO carry encoder failures as
+    NULLs, and "unknown similarity" must not surface as a neighbor. The
+    predicate ``l2_norm > 0`` covers both cases in one pass (NULL norm
+    compares NULL ⇒ filtered). Gate corpora contain no such rows
+    (measured at every SF), so the oracles see identical inputs."""
+    return df.filter(l2_norm(F.col(vec_col)) > 0)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,6 +73,9 @@ def brute_force_topk(
     queries is broadcast (it is small by construction); ranking is a
     row_number window partitioned by q_id — its input is already reduced
     to scalar triples. Ties broken by vec_id ASC; self-matches excluded.
+    NULL/all-zero embeddings are unscorable and take part on neither
+    side (see _scorable; the filter reuses the norms computed here, so
+    it costs no extra array traversal).
     """
     from pyspark.sql import Window
 
@@ -67,9 +83,13 @@ def brute_force_topk(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     # norms once per row (not per pair) — identical doubles to cosine_sim
-    c = corpus.select(id_col, vec_col).withColumn("v_norm", l2_norm(F.col(vec_col)))
+    c = (
+        corpus.select(id_col, vec_col)
+        .withColumn("v_norm", l2_norm(F.col(vec_col)))
+        .filter(F.col("v_norm") > 0)
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
@@ -154,6 +174,9 @@ def ivf_assign(
       argmax — one combined row per vector crosses the shuffle, instead
       of sorting all n×ncells pair rows through a ranking window. The
       window path remains for n_nearest>1 (query probing, a tiny side).
+
+    NULL/all-zero embeddings are unscorable and excluded on both sides
+    (see _scorable; the filters reuse the norms computed here).
     """
     from pyspark.sql import Window
 
@@ -161,10 +184,11 @@ def ivf_assign(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     paired = (
         vectors.select(id_col, vec_col)
         .withColumn("v_norm", l2_norm(F.col(vec_col)))
+        .filter(F.col("v_norm") > 0)
         .crossJoin(F.broadcast(cents))
         .select(
             id_col,
@@ -304,13 +328,15 @@ def lsh_topk(
     ``n_probes > 1`` enables multi-probe (see lsh_probe_buckets): recall
     rises with probes while per-query cost stays probes × corpus/2^planes
     — the standard dial at scale, where re-hashing the corpus (more
-    planes) is expensive but probing more buckets is cheap."""
+    planes) is expensive but probing more buckets is cheap.
+    NULL/all-zero embeddings are unscorable and excluded on both sides
+    (see _scorable)."""
     from pyspark.sql import Window
 
-    bucketed = corpus.select(
+    bucketed = _scorable(corpus, vec_col).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket")
     )
-    q = queries.select(
+    q = _scorable(queries, vec_col).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(

@@ -43,6 +43,37 @@ def test_brute_force_ranks_by_cosine(spark):
     assert sims[1] == 1.0 and sims[4] == -1.0 and sims[3] == 0.0
 
 
+def test_unscorable_vectors_excluded_from_all_ann_tiers(spark):
+    """NULL and all-zero embeddings (encoder failures in real corpora)
+    are cosine-unscorable and must take part in NEITHER role: no
+    sim=NULL rows in a ranking, no spurious bucket-0 neighbors from the
+    sign-hash's otherwise(0) branch, no zero-norm centroid. Gate corpora
+    carry no such rows (measured at every SF), so this contract is
+    pinned here rather than by the driver oracles."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    bad = [(5, None), (6, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(VECS + bad, schema)
+    for tier, out in [
+        ("brute", brute_force_topk(emb, emb, k=10)),
+        ("lsh", lsh_topk(emb, emb, k=10, num_planes=8, dim=4)),
+        # seed_mod=2/rem=0 makes the zero vector (id 6) a would-be
+        # centroid — the c_norm filter must drop the cell, not crash
+        ("ivf", ivf_topk(emb, emb, k=10, nprobe=2, seed_mod=2, seed_rem=0)),
+    ]:
+        rows = out.collect()
+        assert rows, tier  # scorable pairs still flow
+        assert {r.q_id for r in rows}.isdisjoint({5, 6}), tier
+        assert {r.vec_id for r in rows}.isdisjoint({5, 6}), tier
+        assert all(r.sim is not None for r in rows), tier
+    # zero-row corpus stays a clean empty result
+    assert brute_force_topk(emb.filter("vec_id < 0"), emb, k=3).count() == 0
+
+
 def test_lsh_bucket_mates_include_identical_vector(spark):
     emb = _emb(spark)
     out = lsh_topk(emb, emb.filter("vec_id = 0"), k=4, num_planes=8, dim=4).collect()
