@@ -68,9 +68,18 @@ def normalized_text_key(text: F.Column) -> F.Column:
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One surviving row per distinct normalized text: (kept_doc_id = min
     id, dup_cnt). Shuffle carries only (128-bit key, id) pairs; partial
-    min/count collapse duplicates map-side."""
+    min/count collapse duplicates map-side.
+
+    NULL text takes no part in dedup — the family convention (the shingle
+    tiers filter it, SimHash drops it via explode). Without the filter,
+    md5(NULL) = NULL would group every failed-fetch/encoder-failure doc
+    under ONE key and report them as mutual duplicates of the min-id one:
+    unknown content is not equal content. Such rows are simply absent
+    from the output (route them to a quarantine track). Gate corpora
+    contain no NULL texts, so the oracles see identical inputs."""
     return (
-        docs.select(normalized_text_key(F.col(text_col)).alias("text_key"), F.col(id_col))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(normalized_text_key(F.col(text_col)).alias("text_key"), F.col(id_col))
         .groupBy("text_key")
         .agg(F.min(id_col).alias("kept_doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
     )

@@ -115,11 +115,16 @@ def dedup_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_evidence(docs: DataFrame) -> DataFrame:
     """(src, dst) pairwise dup evidence shared by both cluster queries:
     exact-dup star edges (min doc_id per normalized-text key → every
-    other member) unioned with the MinHash-LSH near-dup pairs."""
+    other member) unioned with the MinHash-LSH near-dup pairs.
+
+    NULL text is filtered before keying (family convention, same reason
+    as operators/dedup.exact_dedup: window partitions group NULL keys,
+    so failed-fetch docs would otherwise form one spurious cluster)."""
     from pyspark.sql import Window
 
     exact_pairs = (
-        docs.select(D.normalized_text_key(F.col("text")).alias("text_key"), "doc_id")
+        docs.filter(F.col("text").isNotNull())
+        .select(D.normalized_text_key(F.col("text")).alias("text_key"), "doc_id")
         .withColumn("kept", F.min("doc_id").over(Window.partitionBy("text_key")))
         .filter(F.col("doc_id") != F.col("kept"))
         .select(F.col("kept").alias("src"), F.col("doc_id").alias("dst"))

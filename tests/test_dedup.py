@@ -33,6 +33,41 @@ def test_exact_dedup_normalizes_case_and_whitespace(spark):
     assert groups == {0: 3, 3: 1, 4: 1, 5: 1}
 
 
+def test_null_text_takes_no_part_in_any_dedup_tier(spark):
+    """Family contract: NULL text (failed fetch / encoder failure) is
+    unknown content, not equal content — such docs must appear in NO
+    dedup output, neither as representatives nor as duplicates. Before
+    the exact_dedup fix, md5(NULL)=NULL grouped all NULL docs as mutual
+    duplicates of the min-id one; the window partition in the cluster
+    queries' exact-evidence had the same hole. Gate corpora carry no
+    NULL texts, so this contract is pinned here, not by the driver."""
+    from flink_streaming_twitter_spark.plans.dedup import _dup_evidence
+
+    rows = DOCS + [(90, None), (91, None), (92, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    null_ids = {90, 91, 92}
+
+    out = exact_dedup(docs).collect()
+    groups = {r.kept_doc_id: r.dup_cnt for r in out}
+    assert groups == {0: 3, 3: 1, 4: 1, 5: 1}  # identical to the NULL-free corpus
+
+    for name, pairs_df in [
+        ("minhash", minhash_lsh_dedup(docs)),
+        ("ngram", ngram_jaccard_pairs(docs)),
+        ("simhash", simhash_near_pairs(docs)),
+        ("lsh_exact", lsh_verified_jaccard(docs)),
+    ]:
+        pairs = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
+        ids = {i for p in pairs for i in p}
+        assert ids.isdisjoint(null_ids), name
+        assert (0, 1) in pairs, name  # real dups still found
+
+    evidence = _dup_evidence(docs).collect()
+    ev_ids = {r.src for r in evidence} | {r.dst for r in evidence}
+    assert ev_ids.isdisjoint(null_ids)
+    assert any(r.src == 0 for r in evidence)  # real evidence still flows
+
+
 def test_minhash_identical_docs_have_est_one(spark):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_dedup(_docs(spark)).collect()}
     assert pairs[(0, 1)] == 1.0  # identical text → identical signatures
