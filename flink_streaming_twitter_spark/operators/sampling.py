@@ -39,11 +39,22 @@ def hash_bucket(key: Column | str, n_buckets: int = 10_000) -> Column:
     """Engine-portable uniform bucket in ``[0, n_buckets)``: the first 8
     hex digits of ``md5(cast(key as string))`` read as an integer, mod
     ``n_buckets``. DuckDB twin:
-    ``('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT % n``.
-    """
+    ``('0x' || substr(md5(COALESCE(CAST(key AS VARCHAR), '')), 1, 8))::BIGINT % n``.
+
+    A NULL key hashes as the EMPTY STRING, never as NULL: md5(NULL)=NULL
+    would propagate into the admission predicates, where ``NULL < t`` is
+    NULL and a filter silently drops the row — ``hash_sample`` at
+    fraction 1.0 losing every NULL-keyed document. NULL means "the key
+    is missing", and all missing-key rows are the SAME key under the
+    determinism contract (one shared in/out fate, one split label —
+    deliberately colliding with a genuinely-empty-string key, which is
+    the same pathology). The gate entries key on ``doc_id`` (never
+    NULL), so the oracles see identical buckets."""
     col = F.col(key) if isinstance(key, str) else key
     return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        F.conv(
+            F.substring(F.md5(F.coalesce(col.cast("string"), F.lit(""))), 1, 8), 16, 10
+        ).cast("bigint")
         % F.lit(n_buckets)
     )
 

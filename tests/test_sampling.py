@@ -33,6 +33,28 @@ def test_hash_bucket_matches_python_golden(spark):
     assert got == {k: _py_bucket(k) for k in keys}
 
 
+def test_null_key_hashes_as_empty_string_and_is_never_dropped(spark):
+    """NULL-key contract (operators/sampling.py::hash_bucket): a missing
+    key buckets exactly like the empty string, so admission filters
+    never NULL-drop — before the fix, md5(NULL)=NULL made hash_sample
+    at fraction 1.0 and weighted_mix at a 100% domain silently discard
+    every NULL-keyed row, while hash_split shunted them all to the last
+    label through the rounding-remainder branch."""
+    df = spark.createDataFrame(
+        [(1, "a", "curated"), (2, None, "curated"), (3, "", "crawl")],
+        ["id", "k", "dom"],
+    )
+    buckets = {r.id: r.b for r in df.select("id", hash_bucket("k").alias("b")).collect()}
+    assert buckets[2] == buckets[3] == _py_bucket("")  # NULL ≡ '' ≡ the twin
+    # fraction-1.0 sample keeps everything, NULL key included
+    assert hash_sample(df, "k", 1.0).count() == 3
+    # a 100%-admitted domain keeps its NULL-keyed rows
+    assert weighted_mix(df, "dom", "k", {"curated": 1.0}, 1.0).count() == 3
+    # split stays total and NULL gets the same label as '' (same bucket)
+    labels = {r.id: r.split for r in hash_split(df, "k", [("train", 0.8), ("test", 0.2)]).collect()}
+    assert len(labels) == 3 and labels[2] == labels[3]
+
+
 def test_hash_split_total_disjoint_stable(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
     splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
