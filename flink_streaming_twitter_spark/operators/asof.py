@@ -35,17 +35,29 @@ def asof_join_backward(
 
     Left rows with no prior right row get NULL. Ties among right rows at
     identical timestamps are broken by the larger value_col
-    (deterministic).
+    (deterministic; NULL values sort below all non-NULL).
+
+    A right row whose VALUE is NULL is still an observation: it
+    participates in the as-of match and yields NULL (the latest reading
+    was null), exactly like DuckDB's native ASOF JOIN. The carry
+    therefore wraps the value in a one-field struct — the struct is
+    non-NULL for every right row, so ``last(ignorenulls)`` skips only
+    the interleaved left rows, never a null-valued observation. (The
+    naive carry on the bare value column conflated the two: a NULL
+    right value was indistinguishable from a left row and the join
+    resurrected the older non-null reading.)
     """
     # marker orders right rows relative to left rows at equal timestamps:
     # strict → right sorts AFTER left (excluded by the ..-1 frame);
     # non-strict → right sorts BEFORE left (included).
     right_marker = 2 if strict else 0
+    vtype = right.schema[value_col].dataType
     lhs = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_m"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.lit(None).cast(vtype).alias("_v"),
+        F.lit(None).cast(f"struct<v:{vtype.simpleString()}>").alias("_vs"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
     )
     rhs = right.select(
@@ -53,13 +65,17 @@ def asof_join_backward(
         F.col(right_ts).alias("_ts"),
         F.lit(right_marker).alias("_m"),
         F.col(value_col).alias("_v"),
+        F.struct(F.col(value_col).alias("v")).alias("_vs"),
         F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
     )
     unioned = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ts").asc(), F.col("_m").asc(), F.col("_v").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_m").asc(), F.col("_v").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carried = unioned.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
-    return carried.filter(F.col("_m") == 1).select("_row.*", out_col)
+    carried = unioned.withColumn("_carry", F.last("_vs", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("_m") == 1)
+        .select("_row.*", F.col("_carry.v").alias(out_col))
+    )

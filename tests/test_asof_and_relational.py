@@ -56,6 +56,50 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
         assert rows[et].hll_ok
 
 
+def test_null_valued_observation_is_matched_not_skipped(spark):
+    """A right row whose value is NULL is still the latest observation:
+    the join must yield NULL for left rows after it (DuckDB ASOF JOIN
+    semantics — the oracle's independent algorithm), not resurrect the
+    older non-null reading. Before the struct-carry fix, the bare-value
+    last(ignorenulls) conflated a null-valued observation with the
+    interleaved left rows and returned 100.0 for l1."""
+    from pyspark.sql import types as T
+
+    left = spark.createDataFrame(
+        [(1, 5.0, "l0"), (1, 20.0, "l1"), (1, 12.0, "l2")], ["u", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 15.0, None)],
+        T.StructType(
+            [
+                T.StructField("u", T.LongType()),
+                T.StructField("rts", T.DoubleType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        ),
+    )
+    out = {
+        r.tag: r.prior
+        for r in asof_join_backward(
+            left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
+        ).collect()
+    }
+    # l0: nothing prior; l2: latest prior is the 100.0 reading;
+    # l1: latest prior (ts=15) is the NULL reading — NULL, not 100.0
+    assert out == {"l0": None, "l1": None, "l2": 100.0}
+    # tie at one timestamp between a NULL and a non-null reading: the
+    # non-null wins the tie-break (NULL sorts below all values)
+    right2 = spark.createDataFrame(
+        [(1, 10.0, None), (1, 10.0, 7.0)],
+        right.schema,
+    )
+    [r] = asof_join_backward(
+        left.filter("tag = 'l1'"), right2, ["u"], "ts", "rts", "val",
+        out_col="prior", strict=True,
+    ).collect()
+    assert r.prior == 7.0
+
+
 def test_tie_among_right_rows_picks_greatest_value(spark):
     left = spark.createDataFrame([(1, 20.0, "x")], ["u", "ts", "tag"])
     right = spark.createDataFrame([(1, 10.0, 1.0), (1, 10.0, 2.0)], ["u", "rts", "val"])
