@@ -139,12 +139,23 @@ def decode_media(df: DataFrame, force_stub: bool = False) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_payload(bytes(p), force_stub) for p in pdf["payload"]]
+            # NULL payload (failed download) must not kill the job: one
+            # bytes(None) TypeError in a worker fails the whole decode
+            # pass at scale. Emit the row with NULL decode fields so
+            # accounting survives and a downstream filter can quarantine.
+            decoded = [
+                _decode_payload(bytes(p), force_stub)
+                if p is not None
+                else (None, None, None, None)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "mime": pdf["mime"],
-                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "byte_len": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "n_frames": [d[2] for d in decoded],
@@ -177,7 +188,9 @@ def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
             return im.convert("L").resize((target_w, target_h)).tobytes()
         except Exception:
             pass  # not a PIL-decodable payload — deterministic fallback
-    n = max(len(payload), 1)
+    if not payload:  # zero-length bytes would IndexError below
+        return bytes(target_w * target_h)
+    n = len(payload)
     return bytes(payload[(i * n) // (target_w * target_h)] for i in range(target_w * target_h))
 
 
@@ -194,7 +207,14 @@ def resize_media(df: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFra
                     "media_id": pdf["media_id"].astype("int64"),
                     "width": target_w,
                     "height": target_h,
-                    "thumb": [_resize_payload(bytes(p), target_w, target_h) for p in pdf["payload"]],
+                    # NULL payload → NULL thumb, same crash-safety
+                    # contract as decode_media
+                    "thumb": [
+                        _resize_payload(bytes(p), target_w, target_h)
+                        if p is not None
+                        else None
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 

@@ -176,6 +176,36 @@ def test_resize_media_produces_fixed_size_thumbnails(spark):
         assert out1[mid].thumb == out2[mid].thumb  # deterministic
 
 
+def test_null_and_empty_payloads_survive_decode_and_resize(spark):
+    """Failed media downloads arrive as NULL (or zero-length) payloads;
+    one bytes(None) TypeError in a mapInPandas worker fails the WHOLE
+    decode job, so the kernels must degrade per-row instead. Contract:
+    NULL payload → row kept with NULL decode fields / NULL thumb
+    (quarantine downstream); empty payload → deterministic all-zero
+    thumb, stub decode as usual; frame_sample drops NULL-n_frames rows
+    via the NULL-propagating sequence."""
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"x" * 20, "image/jpeg"),
+        (2, None, "image/png"),
+        (3, b"", "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    assert dec.keys() == {1, 2, 3}  # no row lost, no crash
+    assert dec[2].width is None and dec[2].feature is None and dec[2].byte_len is None
+    assert dec[1].byte_len == 24 and len(dec[1].feature) == 8
+    assert dec[3].byte_len == 0 and dec[3].n_frames == 1
+
+    thumbs = {r.media_id: r.thumb for r in resize_media(media, 8, 8).collect()}
+    assert thumbs[2] is None
+    assert thumbs[3] == bytes(64)  # empty payload → all-zero thumb
+    assert len(thumbs[1]) == 64
+
+    sampled = {r.media_id for r in frame_sample(decode_media(media), every_n=4).collect()}
+    assert sampled == {1, 3}  # the NULL-decode row has no frames to sample
+
+
 def test_frame_sample_keeps_every_nth(spark):
     decoded = decode_media(_media(spark))
     frames = frame_sample(decoded, every_n=4).collect()
