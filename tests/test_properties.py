@@ -134,6 +134,7 @@ def test_simhash_matches_python_model(spark, texts):
             st.integers(min_value=1, max_value=3),  # key
             st.integers(min_value=0, max_value=50),  # ts
             st.booleans(),  # left side?
+            st.booleans(),  # right row carries a NULL value?
         ),
         min_size=1,
         max_size=40,
@@ -141,15 +142,25 @@ def test_simhash_matches_python_model(spark, texts):
 )
 @settings(**SETTINGS)
 def test_asof_join_matches_python_model(spark, rows):
+    """Includes null-VALUED observations: a right row with val=NULL is
+    matched like any other (the struct carry), distinguishable in the
+    model from 'no prior row' only by the tag being present with None —
+    both map to None here, so the discriminating cases are ties and a
+    null observation SHADOWING an older non-null one, which the
+    generator produces freely."""
     from flink_streaming_twitter_spark.operators.asof import asof_join_backward
 
-    left_rows = [(k, float(t), i) for i, (k, t, is_l) in enumerate(rows) if is_l]
-    right_rows = [(k, float(t), float(i)) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    left_rows = [(k, float(t), i) for i, (k, t, is_l, _) in enumerate(rows) if is_l]
+    right_rows = [
+        (k, float(t), None if nul else float(i))
+        for i, (k, t, is_l, nul) in enumerate(rows)
+        if not is_l
+    ]
     if not left_rows:
         return
     left = spark.createDataFrame(left_rows, ["u", "ts", "tag"])
     if right_rows:
-        right = spark.createDataFrame(right_rows, ["u", "rts", "val"])
+        right = spark.createDataFrame(right_rows, "u BIGINT, rts DOUBLE, val DOUBLE")
     else:
         right = spark.createDataFrame([], "u INT, rts DOUBLE, val DOUBLE")
     got = {
@@ -161,8 +172,13 @@ def test_asof_join_matches_python_model(spark, rows):
     expected = {}
     for k, t, tag in left_rows:
         prior = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt < t]
-        # documented tie-break: latest rts, then greatest val
-        expected[tag] = max(prior)[1] if prior else None
+        # documented tie-break: latest rts, then greatest val with NULL
+        # below all non-NULL values
+        expected[tag] = (
+            max(prior, key=lambda rv: (rv[0], rv[1] is not None, rv[1] or 0.0))[1]
+            if prior
+            else None
+        )
     assert got == expected
 
 
