@@ -19,6 +19,25 @@ differences live far below 1e-6).
 
 Hyperplane components are md5-derived rationals (m/1000 with m in
 [-1000, 1000]), so the DuckDB oracle regenerates identical planes.
+
+Unscorable-vector contract (every tier, both sides): NULL embeddings
+and all-zero vectors (norm 0 ⇒ 0/0) cannot be cosine-scored and take
+part in nothing — no ``sim=NULL`` ranking rows, no spurious sign-hash
+bucket-0 neighbors (``NULL >= 0`` falls to the otherwise(0) branch on
+every plane), no zero-norm IVF centroids. Real corpora DO carry encoder
+failures as NULLs; "unknown similarity" must not surface as a neighbor.
+Each tier filters ``l2_norm > 0`` on the per-row norm it already
+carries (one predicate covers both cases: a NULL norm compares NULL),
+so the contract costs no extra array traversal. Gate corpora contain no
+such rows (measured at every SF), so the oracles see identical inputs;
+the contract is pinned by
+tests/test_similarity_and_multimodal.py::test_unscorable_vectors_excluded_from_all_ann_tiers.
+
+Norms-once-per-row discipline (every tier): the candidate re-rank
+computes ``dot/(q_norm*v_norm)`` from norms carried per ROW — never
+``cosine_sim`` per pair, which would re-traverse both arrays for every
+candidate. The carried form multiplies the identical doubles in the
+same order, so results are bit-identical.
 """
 
 from __future__ import annotations
@@ -28,7 +47,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim, dot_product, l2_norm
+from ..functions.vectors import dot_product, l2_norm
 
 ROUND_DECIMALS = 6
 
@@ -48,19 +67,6 @@ def _lit_array(vals: list[float]) -> F.Column:
     return F.array(*[F.lit(v) for v in vals])
 
 
-def _scorable(df: DataFrame, vec_col: str) -> DataFrame:
-    """Drop rows that cosine cannot score: NULL embeddings and all-zero
-    vectors (norm 0 ⇒ 0/0). Without this, a NULL vector flows through
-    ranking as ``sim=NULL`` rows (and through the sign-hash as a
-    spurious bucket 0, since ``NULL >= 0`` falls to the otherwise(0)
-    branch for every plane) — real corpora DO carry encoder failures as
-    NULLs, and "unknown similarity" must not surface as a neighbor. The
-    predicate ``l2_norm > 0`` covers both cases in one pass (NULL norm
-    compares NULL ⇒ filtered). Gate corpora contain no such rows
-    (measured at every SF), so the oracles see identical inputs."""
-    return df.filter(l2_norm(F.col(vec_col)) > 0)
-
-
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,8 +80,8 @@ def brute_force_topk(
     row_number window partitioned by q_id — its input is already reduced
     to scalar triples. Ties broken by vec_id ASC; self-matches excluded.
     NULL/all-zero embeddings are unscorable and take part on neither
-    side (see _scorable; the filter reuses the norms computed here, so
-    it costs no extra array traversal).
+    side (module docstring contract; the filter reuses the per-row
+    norms computed here).
     """
     from pyspark.sql import Window
 
@@ -176,7 +182,8 @@ def ivf_assign(
       window path remains for n_nearest>1 (query probing, a tiny side).
 
     NULL/all-zero embeddings are unscorable and excluded on both sides
-    (see _scorable; the filters reuse the norms computed here).
+    (module docstring contract; the filters reuse the per-row norms
+    computed here).
     """
     from pyspark.sql import Window
 
@@ -266,13 +273,23 @@ def ivf_topk(
         ivf_assign(queries, cents, nprobe, id_col, vec_col)
         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cent_id")
     )
+    # norms once per ROW (same discipline as brute_force_topk): the
+    # probed-cell re-rank otherwise recomputes BOTH norms per candidate
+    # pair inside cosine_sim — two extra array traversals per pair.
+    # dot/(q_norm*v_norm) multiplies the identical doubles in the same
+    # order cosine_sim does, so results are bit-identical.
     sims = (
-        assigned.join(F.broadcast(probes), "cent_id")
+        assigned.withColumn("v_norm", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes.withColumn("q_norm", l2_norm(F.col("q_vec")))), "cent_id")
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             id_col,
-            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+            F.round(
+                dot_product(F.col("q_vec"), F.col(vec_col))
+                / (F.col("q_norm") * F.col("v_norm")),
+                ROUND_DECIMALS,
+            ).alias("sim"),
         )
         # no distinct needed: each corpus vector lives in exactly one cell
     )
@@ -330,18 +347,38 @@ def lsh_topk(
     — the standard dial at scale, where re-hashing the corpus (more
     planes) is expensive but probing more buckets is cheap.
     NULL/all-zero embeddings are unscorable and excluded on both sides
-    (see _scorable)."""
+    (module docstring contract; the filters reuse the carried norms)."""
     from pyspark.sql import Window
 
-    bucketed = _scorable(corpus, vec_col).select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket")
+    # norms once per ROW (the brute_force_topk discipline): the
+    # unscorable filter needs the norm anyway, so carry it through the join
+    # and make the per-pair re-rank a single dot product — cosine_sim
+    # would re-traverse both arrays per candidate pair. Same doubles,
+    # same division order, bit-identical results.
+    bucketed = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("v_norm"),
+            lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+        )
+        .filter(F.col("v_norm") > 0)
     )
-    q = _scorable(queries, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            lsh_probe_buckets(F.col(vec_col), num_planes, dim, n_probes)
-        ).alias("q_bucket"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .filter(F.col("q_norm") > 0)
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                lsh_probe_buckets(F.col("q_vec"), num_planes, dim, n_probes)
+            ).alias("q_bucket"),
+        )
     )
     sims = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
@@ -349,7 +386,11 @@ def lsh_topk(
         .select(
             "q_id",
             id_col,
-            F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), ROUND_DECIMALS).alias("sim"),
+            F.round(
+                dot_product(F.col("q_vec"), F.col(vec_col))
+                / (F.col("q_norm") * F.col("v_norm")),
+                ROUND_DECIMALS,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())

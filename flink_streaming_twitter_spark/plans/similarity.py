@@ -61,14 +61,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # persist across the self-join: the 8-plane bucket signature is a
     # per-row HOF pass that AQE would otherwise recompute on both sides
-    # (ReuseExchange doesn't fire under AQE re-planning; measured 3x)
+    # (ReuseExchange doesn't fire under AQE re-planning; measured 3x).
+    # The L2 norm rides along so the per-pair verify is a single dot
+    # product (norms-once-per-row — operators/similarity.py module
+    # docstring; dot/(x.norm*y.norm) multiplies the identical doubles in
+    # cosine_sim's order, bit-identical results).
+    from ..functions.vectors import dot_product, l2_norm
+
     b = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket")
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
+        lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket"),
     ).persist()
     x, y = b.alias("x"), b.alias("y")
-    from ..functions.vectors import cosine_sim
-
-    cos = FF.round(cosine_sim(FF.col("x.embedding"), FF.col("y.embedding")), 6)
+    cos = FF.round(
+        dot_product(FF.col("x.embedding"), FF.col("y.embedding"))
+        / (FF.col("x.norm") * FF.col("y.norm")),
+        6,
+    )
     return (
         x.join(
             y,
