@@ -125,8 +125,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Total cost at any corpus size: one digest-keyed exchange of thin
     rows plus the 3×20-group aggregate. The token count uses the same
-    ``\\w+`` tokenizer as the text-analysis family."""
-    docs = load_table(spark, sf_dir, "documents")
+    ``\\w+`` tokenizer as the text-analysis family.
+
+    NULL text is filtered at the head (dedup-family convention —
+    operators/dedup.py::exact_dedup): md5(NULL) digests would otherwise
+    group every failed-fetch doc under one key and the k=1 cap would
+    keep exactly one of them. The oracle applies the identical filter."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     norm = normalize_text(docs, extra_cols=("source",))
     featurized = norm.select(
         "doc_id",
@@ -162,8 +167,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest table. Both join sides are thin digest rows — the anti join
     shuffles 32-hex keys, never text — and at 100 TB the archive side
     is exactly the "seen-digests" table you'd bucket by digest so
-    nightly ingests co-locate without re-shuffling the archive."""
-    docs = load_table(spark, sf_dir, "documents")
+    nightly ingests co-locate without re-shuffling the archive.
+
+    NULL text is filtered at the head (same convention and reason as
+    q_corpus_pipeline; a NULL digest additionally never matches the
+    anti join, so such rows would bypass the archive check entirely)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     norm = normalize_text(docs, extra_cols=("source",))
     dig = norm.select("doc_id", "source", F.md5("norm_text").alias("digest"))
     archive = dig.filter(F.col("doc_id") % 10 < 8).select("digest")
@@ -275,6 +284,7 @@ WITH norm AS (
               regexp_replace(lower(text), '\s+', ' ', 'g'),
               '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
   FROM documents
+  WHERE text IS NOT NULL
 ),
 deduped AS (
   SELECT doc_id, source, norm_text,
@@ -303,6 +313,7 @@ WITH norm AS (
               regexp_replace(lower(text), '\s+', ' ', 'g'),
               '[\x00-\x1f\x7f]', '', 'g')) AS norm_text
   FROM documents
+  WHERE text IS NOT NULL
 ),
 dig AS (SELECT doc_id, source, md5(norm_text) AS digest FROM norm),
 archive AS (SELECT DISTINCT digest FROM dig WHERE doc_id % 10 < 8),

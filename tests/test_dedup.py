@@ -68,6 +68,38 @@ def test_null_text_takes_no_part_in_any_dedup_tier(spark):
     assert any(r.src == 0 for r in evidence)  # real evidence still flows
 
 
+def test_pipeline_entries_ignore_null_text_docs(spark, sf_dir, tmp_path):
+    """The composed pipeline entries inherit the NULL-text contract:
+    adding failed-fetch docs (NULL text) to a corpus must leave
+    q_corpus_pipeline and q_incremental_dedup output IDENTICAL — before
+    the head filter, every NULL doc shared the single md5(NULL) digest,
+    the k=1 cap kept exactly one of them (a phantom train/val/test row),
+    and a NULL digest bypassed the incremental archive anti-join
+    entirely."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.plans.pipeline import (
+        q_corpus_pipeline,
+        q_incremental_dedup,
+    )
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nulled = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("text", F.lit(None).cast("string"))
+    )
+    aug_dir = str(tmp_path / "aug")
+    docs.unionByName(nulled).coalesce(1).write.parquet(f"{aug_dir}/documents.parquet")
+
+    for entry in (q_corpus_pipeline, q_incremental_dedup):
+        base = {tuple(r) for r in entry(spark, sf_dir).collect()}
+        aug = {tuple(r) for r in entry(spark, aug_dir).collect()}
+        assert aug == base, entry.__name__
+        assert base  # the comparison is not vacuous
+
+
 def test_minhash_identical_docs_have_est_one(spark):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_dedup(_docs(spark)).collect()}
     assert pairs[(0, 1)] == 1.0  # identical text → identical signatures
