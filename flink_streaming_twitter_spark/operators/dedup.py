@@ -75,8 +75,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     md5(NULL) = NULL would group every failed-fetch/encoder-failure doc
     under ONE key and report them as mutual duplicates of the min-id one:
     unknown content is not equal content. Such rows are simply absent
-    from the output (route them to a quarantine track). Gate corpora
-    contain no NULL texts, so the oracles see identical inputs."""
+    from the output (route them to a quarantine track). The DuckDB
+    oracles carry the same WHERE text IS NOT NULL filter (round 9), so
+    operator and oracle agree by construction on NULL-bearing corpora,
+    not just on the NULL-free gate data."""
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(normalized_text_key(F.col(text_col)).alias("text_key"), F.col(id_col))
@@ -168,13 +170,31 @@ def banded_signatures(
     ).select(id_col, *carry, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
+def _dropped_bucket_metrics(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """The accounting twin of cap_bucket_size over the SAME pre-cap banded
+    input: one row per bucket key the cap drops, with its occupancy.
+    ``max_bucket=None`` (cap disabled) yields a statically-empty frame of
+    the same schema (Catalyst prunes the literal-false filter to an empty
+    relation — no scan is scheduled)."""
+    if max_bucket is None:
+        return (
+            banded.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("occupancy"))
+            .filter(F.lit(False))
+        )
+    return oversized_buckets(banded, bucket_cols, max_bucket)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_perm: int,
     bands: int,
     id_col: str = "doc_id",
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
-) -> DataFrame:
+    accounting: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Band the signature, bucket-join per band → distinct (doc_a, doc_b).
 
     Banding uses explode over an array of (band, concatenated row hashes)
@@ -184,13 +204,20 @@ def lsh_candidate_pairs(
     shuffle, and buckets larger than ``max_bucket`` (default
     DEFAULT_LSH_MAX_BUCKET — measured ~250× above genuine near-dup
     occupancy) are dropped before the quadratic join; route their members
-    through the exact-dedup track instead. ``oversized_buckets`` reports
-    exactly what a cap drops; ``None`` disables.
+    through the exact-dedup track instead. ``None`` disables.
+
+    ``accounting=True`` returns ``(pairs, dropped_buckets)`` where the
+    second frame is one row per dropped (band, sig) key with its
+    occupancy (pair loss of a bucket of n is ≤ n(n−1)/2) — the loss
+    ledger a deploy pipeline should sink to its metrics table, built
+    from the same banded lineage with no extra plan code at the caller
+    (ADVICE r8: the separate opt-in ``oversized_buckets`` call meant a
+    binding cap could silently lose pairs when nobody wired it up).
     """
     banded = banded_signatures(signatures, num_perm, bands, id_col)
-    banded = cap_bucket_size(banded, ["band", "sig"], max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    capped = cap_bucket_size(banded, ["band", "sig"], max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -200,6 +227,9 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+    if accounting:
+        return pairs, _dropped_bucket_metrics(banded, ["band", "sig"], max_bucket)
+    return pairs
 
 
 def minhash_lsh_dedup(
@@ -209,9 +239,14 @@ def minhash_lsh_dedup(
     est_threshold: float = 0.5,
     shingle_k: int = 3,
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
-) -> DataFrame:
+    accounting: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs with estimated Jaccard (fraction of equal
-    minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard)."""
+    minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard).
+
+    ``accounting=True`` additionally returns the dropped-bucket ledger —
+    see lsh_candidate_pairs; deploy callers get cap-loss visibility
+    without a second manual ``oversized_buckets`` call."""
     # Row-wise signatures have no aggregation exchange for ReuseExchange to
     # share across the self-join's two sides, so persist the (1 row/doc,
     # ~100 B) signature table instead of recomputing the tokenize+hash
@@ -220,12 +255,12 @@ def minhash_lsh_dedup(
     # Carry the packed signature array through the band self-join so the
     # estimated Jaccard needs NO extra signature joins.
     banded = banded_signatures(sigs, num_perm, bands, carry=("mhs",))
-    banded = cap_bucket_size(banded, ["band", "sig"], max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
+    capped = cap_bucket_size(banded, ["band", "sig"], max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
     n_eq = F.size(
         F.filter(F.zip_with(F.col("a.mhs"), F.col("b.mhs"), lambda x, y: x == y), lambda v: v)
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -240,6 +275,9 @@ def minhash_lsh_dedup(
         .distinct()
         .filter(F.col("est_jaccard") >= est_threshold)
     )
+    if accounting:
+        return pairs, _dropped_bucket_metrics(banded, ["band", "sig"], max_bucket)
+    return pairs
 
 
 def lsh_verified_jaccard(
@@ -249,7 +287,8 @@ def lsh_verified_jaccard(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
-) -> DataFrame:
+    accounting: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """The two-tier 100 TB near-dup pipeline: MinHash-LSH candidate
     generation (cost ∝ band-bucket occupancy) followed by EXACT Jaccard
     verification over packed shingle sets (one array_intersect per
@@ -264,9 +303,12 @@ def lsh_verified_jaccard(
     pairs are dropped silently; on genuine data this term is zero —
     the cap is ~250× above measured occupancy — and it targets only
     boilerplate families, which belong to the exact-dedup track). For
-    deploy loss accounting, run ``oversized_buckets`` on the same
-    banded input and sink the dropped keys/occupancies to the
-    pipeline's metrics table. The measured 10× stress showed
+    deploy loss accounting, pass ``accounting=True``: the return becomes
+    ``(pairs, dropped_buckets)`` with the dropped (band, sig) keys and
+    occupancies from the same banded lineage — sink that frame to the
+    pipeline's metrics table so a binding cap can never lose pairs
+    silently (``oversized_buckets`` remains for ad-hoc audits of other
+    banded inputs). The measured 10× stress showed
     the exact join's candidates grow ~quadratically on correlated corpora
     while LSH buckets stay linear, and the round-5 ×100 stress confirmed
     it at a second decade: 29.9 s vs the sized exact join's 334.7 s on
@@ -276,17 +318,22 @@ def lsh_verified_jaccard(
     """
     sets = doc_shingle_sets(docs, k=shingle_k).persist()
     sigs = minhash_signatures(sets, num_perm)
-    cands = lsh_candidate_pairs(sigs, num_perm, bands, max_bucket=max_bucket)
+    cands, dropped = lsh_candidate_pairs(
+        sigs, num_perm, bands, max_bucket=max_bucket, accounting=True
+    )
     seta = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a"))
     setb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
+    verified = (
         cands.join(seta, "doc_a")
         .join(setb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if accounting:
+        return verified, dropped
+    return verified
 
 
 def ngram_jaccard_pairs(

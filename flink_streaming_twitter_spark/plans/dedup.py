@@ -226,6 +226,7 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_key,
        min(doc_id) AS kept_doc_id,
        count(*) AS dup_cnt
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 """
 
@@ -412,10 +413,17 @@ near_pairs AS (
          WHERE sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id) >= {P.MINHASH_EST_THRESHOLD}
 ),
 exact_pairs AS (
+  -- NULL text takes no part in dedup (operators/dedup.exact_dedup /
+  -- _dup_evidence filter it before keying); without this WHERE, DuckDB's
+  -- PARTITION BY md5(NULL) would group every NULL-text doc into ONE
+  -- partition and emit spurious star edges the operator refuses. The
+  -- filter keeps "the oracles see identical inputs" true by
+  -- construction, not by the gate corpora's NULL-free accident.
   SELECT kept AS src, doc_id AS dst FROM (
     SELECT doc_id,
            min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS kept
     FROM documents
+    WHERE text IS NOT NULL
   ) WHERE doc_id <> kept
 ),
 edges AS (
