@@ -11,66 +11,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The 38 extension entries slotted into the round-8 verified window (the
+# The 38 extension entries slotted into the round-9 verified window (the
 # driver checks the first 50 queries(); __spark_entry__ contributes 12).
 # See the rotation rationale in extension_queries(); the contract test
 # asserts these all land inside the first 50 keys.
-ROUND8_WINDOW: tuple[str, ...] = (
-    # 1. the whole 30-entry r7 tail (newest green: round 6) — textops,
-    #    the non-window relational/analytics block, the ANN family,
-    #    TPC-H q1/q3/q4/q5/q12, and the multimodal/session/range-join
-    #    misc family. After this rotation no entry's newest green
-    #    verdict is older than two rounds.
-    "events_sessionize",
-    "multimodal_meta",
-    "multimodal_decode_stats",
-    "q_range_join_error_impact",
-    "text_quality",
-    "text_langid",
-    "text_token_stats",
-    "doc_fingerprint",
-    "q_asof_last_error",
-    "q_approx_distinct_users",
-    "q_value_stats",
-    "q_rollup_counts",
-    "q_user_top_orders",
-    "q_user_segments",
-    "q_pivot_daily",
-    "q_distinct_users",
-    "q_embedding_norms",
-    "similarity_brute_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_embedding_cosine",
-    "q_grouping_sets_sales",
-    "q_order_rank_distribution",
-    "tpch_q1_pricing_summary",
-    "q_price_percentiles",
-    "q_approx_percentiles",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q12_late_shipments",
-    # 2. remaining 8 slots: changed-files-first — round 8 changed
-    #    plans/dedup.py (the new binding-cap gate entry
-    #    dedup_minhash_lsh_capped + the cap-parameterized oracle SQL)
-    #    and plans/params.py (LSH_CAP_BINDING), so the dedup family is
-    #    pinned in-window: the NEW capped entry (never verified), both
-    #    MinHash-LSH-path entries the oracle refactor touches, and the
-    #    rest of the family registered in the changed file. One member
-    #    must take the tail (30 + 9 > 38): dedup_clusters_star — its
-    #    closure runs in untouched operators/graph.py and its plan +
-    #    oracle are shared with dedup_clusters, which stays in-window
-    #    covering the same SQL. q_corpus_pipeline (r7-green,
-    #    plans/pipeline.py untouched) also rotates to the tail.
-    "dedup_minhash_lsh_capped",
-    "dedup_minhash_lsh",
-    "dedup_lsh_exact",
+ROUND9_WINDOW: tuple[str, ...] = (
+    # 1. the whole 31-entry r8 tail (newest green: round 7 by the
+    #    driver, plus a full-81 local re-verify in r8) — the TPC-H
+    #    q2/q6-q22 block, the heavy-join/analytics block, the
+    #    sampling/normalize family (whose operators/sampling.py NULL-key
+    #    change landed in r8 AFTER that window was pinned — this
+    #    rotation gives it its scheduled driver verdict), the star-CC
+    #    variant, and the composed pipeline entries (whose NULL-filter
+    #    oracle edits in r8 likewise now get their driver verdict —
+    #    ADVICE r8 medium, closed by this rotation).
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_global_sales_opportunity",
+    "top_customers",
+    "q_inactive_customers",
+    "q_cube_order_stats",
+    "q_order_deltas",
+    "q_trailing_30d_spend",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "dedup_clusters_star",
+    "q_corpus_pipeline",
+    "q_incremental_dedup",
+    "q_hash_split_counts",
+    "q_cap_per_source",
+    "q_cap_per_source_salted",
+    "q_mix_weighted",
+    "q_text_normalize",
+    "q_text_normalize_nfc",
+    # 2. remaining 7 slots: changed-files-first — round 9 changed
+    #    plans/dedup.py (WHERE text IS NOT NULL added to DEDUP_EXACT_SQL
+    #    and _clusters_sql's exact_pairs CTE) and operators/dedup.py
+    #    (accounting=True cap-loss ledger on the MinHash-LSH paths;
+    #    lsh_verified_jaccard now routes through the accounting form
+    #    internally). Mandatory dependents: dedup_exact + dedup_clusters
+    #    (their oracle SQL changed; dedup_clusters_star shares that SQL
+    #    and sits in block 1), dedup_minhash_lsh /
+    #    dedup_minhash_lsh_capped / dedup_lsh_exact (operator code
+    #    changed). The last 2 slots keep dedup_simhash and
+    #    dedup_ngram_jaccard in-window (same registration file; all r8
+    #    candidates are equally r8-green, so family coherence wins).
+    #    To the tail, with reasons: dedup_ngram_jaccard_60bit (r8-green
+    #    params twin of in-window dedup_ngram_jaccard — identical code
+    #    path, untouched ngram_jaccard_pairs) and dedup_embedding_cosine
+    #    (r8-green; plans/similarity.py untouched this round).
     "dedup_exact",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_60bit",
-    "dedup_clusters",
 )
 
 
@@ -87,22 +95,24 @@ def extension_queries() -> dict[str, QueryFn]:
     # Registration order IS verification priority: the driver's gate
     # checks the first 50 queries() entries (12 in __spark_entry__ — the
     # 7 reference shapes + 5 streaming drains — then the first 38 here).
-    # Round-8 rotation discipline (standing rule: changed files first,
+    # Round-9 rotation discipline (standing rule: changed files first,
     # then stalest green):
-    #   1. the whole 30-entry r7 tail, whose newest green row is round 6
-    #      (textops, the non-window relational/analytics block, the ANN
-    #      family, TPC-H q1/q3/q4/q5/q12, the multimodal/session/
-    #      range-join misc family) — after this rotation no entry's
-    #      newest green verdict is older than two rounds;
-    #   2. the remaining 8 slots: the dedup family — plans/dedup.py
-    #      changed this round (the new binding-cap entry
-    #      dedup_minhash_lsh_capped + the cap-parameterized oracle).
-    #      dedup_clusters_star takes the tail (r7-green; closure code in
-    #      untouched graph.py; oracle shared with in-window
-    #      dedup_clusters), as does q_corpus_pipeline (r7-green,
-    #      pipeline.py untouched) and the r7 window's TPC-H/sampling/
-    #      normalize block (r7-green over untouched files).
-    # (ROUND8_WINDOW is module-level so the contract test can pin that
+    #   1. the whole 31-entry r8 tail (newest driver-green: round 7) —
+    #      the TPC-H q2/q6-q22 + heavy-join/analytics block, the
+    #      sampling/normalize family, dedup_clusters_star, and the
+    #      composed pipeline entries; the latter two groups carry r8
+    #      file changes (sampling NULL keys, pipeline NULL-text oracle)
+    #      that were locally 81/81-verified in r8 and now get their
+    #      scheduled driver verdict (ADVICE r8 medium, closed);
+    #   2. the remaining 7 slots: the dedup entries whose oracle SQL
+    #      (plans/dedup.py NULL-text filter) or operator code
+    #      (operators/dedup.py accounting ledger) changed this round,
+    #      plus dedup_simhash/dedup_ngram_jaccard for family coherence.
+    #      Documented tail exemptions: dedup_ngram_jaccard_60bit
+    #      (params twin of in-window dedup_ngram_jaccard, untouched
+    #      code path) and dedup_embedding_cosine (plans/similarity.py
+    #      untouched) — both r8-green.
+    # (ROUND9_WINDOW is module-level so the contract test can pin that
     # every intended name really falls inside the verified window.)
     q: dict[str, QueryFn] = {}
     pool: dict[str, QueryFn] = {}
@@ -117,7 +127,7 @@ def extension_queries() -> dict[str, QueryFn]:
         PIPELINE_QUERIES,
     ):
         pool.update(fam)
-    for name in ROUND8_WINDOW:
+    for name in ROUND9_WINDOW:
         q[name] = pool[name]
     # tail: everything else, r7-green and untouched this round (dict
     # update keeps first-insertion position, so re-adds are no-ops).

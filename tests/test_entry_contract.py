@@ -31,15 +31,15 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
         assert df.count() >= 0  # materializes without error
 
 
-def test_round8_rotation_names_fall_inside_gate_window():
+def test_round9_rotation_names_fall_inside_gate_window():
     """The driver verifies only the FIRST 50 queries() entries, and the
     window accounting used to be hand-counted comments (ADVICE r3): pin
-    that every name the round-8 rotation plan promises to verify —
+    that every name the round-9 rotation plan promises to verify —
     the 12 entry-module queries (incl. the 5 streaming drains) plus
-    extensions.ROUND8_WINDOW — actually lands inside the window. Adding
+    extensions.ROUND9_WINDOW — actually lands inside the window. Adding
     a query to any family dict can no longer silently push a promised
     entry out of the verified window."""
-    from flink_streaming_twitter_spark.plans.extensions import ROUND8_WINDOW
+    from flink_streaming_twitter_spark.plans.extensions import ROUND9_WINDOW
 
     window = list(entry_mod.queries().keys())[:50]
     entry_module_head = [
@@ -56,6 +56,6 @@ def test_round8_rotation_names_fall_inside_gate_window():
         "stream_interval_pairs",
         "stream_session_counts",
     ]
-    promised = entry_module_head + list(ROUND8_WINDOW)
+    promised = entry_module_head + list(ROUND9_WINDOW)
     assert len(promised) == 50 == len(set(promised))
     assert window == promised
