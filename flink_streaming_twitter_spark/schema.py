@@ -50,7 +50,12 @@ HASHTAG_COUNT_SCHEMA = T.StructType(
 # influxdb-java renders the reference's Long as `count=5i`, and InfluxDB
 # types a field on first write, so stringifying counts would break the
 # dashboards. The fields struct is per-measurement; this constant pins
-# the shape of the four reference measurements (all one BIGINT `count`).
+# the shape of OUR four measurements: one BIGINT `count`. That is a
+# documented remap, not the reference's exact field set — its two
+# trending mappers also put the hashtag STRING in the fields map with
+# an empty tags map (Main.java:228-229/242-243); we ship hashtag as a
+# TAG instead (indexed, and the series key a dashboard groups by),
+# keeping `count` as the sole field across all four measurements.
 INFLUX_POINT_SCHEMA = T.StructType(
     [
         T.StructField("measurement", T.StringType()),

@@ -25,11 +25,14 @@ deployment; fresh deployments are unaffected.
 
 from __future__ import annotations
 
+import logging
 import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def to_influx_points(
@@ -82,12 +85,27 @@ def _as_dict(v) -> dict:
     return v.asDict() if hasattr(v, "asDict") else dict(v)
 
 
+def _renderable_fields(fields: dict) -> dict:
+    """The subset of a point's fields line protocol can carry: None is
+    dropped (the protocol has no null) and so are non-finite floats —
+    InfluxDB has no NaN/±inf field value, ``repr()`` would put a bare
+    ``nan``/``inf`` token on the wire, and since a batch ships as one
+    POST body that single token 400s EVERY line in the batch (ADVICE
+    r8). A NaN aggregate is 'no measurement', same as null."""
+    return {
+        k: v
+        for k, v in fields.items()
+        if v is not None and not (isinstance(v, float) and not math.isfinite(v))
+    }
+
+
 def _field_value(v) -> str:
     """Render one field value per line protocol: integers carry the ``i``
     suffix (the typing the reference gets from influxdb-java rendering
     its Long fields, Main.java:230-231), floats are bare, booleans are
     ``true``/``false``, everything else is a quoted string with ``\\``
-    and ``\"`` escaped."""
+    and ``\"`` escaped. Non-finite floats never reach here — callers
+    pass through ``_renderable_fields`` first."""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
@@ -101,27 +119,29 @@ def _field_value(v) -> str:
 def influx_line(measurement: str, tags: dict, fields: dict, ts_ns: int) -> str:
     """One InfluxDB line-protocol record (the wire format the reference's
     influxdb-java client produces from a Point). ``tags``/``fields``
-    accept plain dicts or struct Rows; None-valued fields are dropped
-    (line protocol has no null). A record with NO non-null fields raises
-    rather than serializing: line protocol requires at least one field,
-    InfluxDB answers 400 to a fieldless line — and since a batch ships
-    as one POST body, one invalid line would poison every line in the
-    batch. The reference's client enforces the same invariant
-    (influxdb-java's Point builder rejects an empty field map), so
-    failing loudly here matches it; filter null aggregates out before
-    the sink if they are expected (e.g. outer-join results)."""
-    tags, fields = _as_dict(tags), _as_dict(fields)
+    accept plain dicts or struct Rows; None-valued and non-finite-float
+    fields are dropped (line protocol has no null and InfluxDB no
+    NaN/inf). A record with NO renderable fields raises rather than
+    serializing: line protocol requires at least one field, InfluxDB
+    answers 400 to a fieldless line — and since a batch ships as one
+    POST body, one invalid line would poison every line in the batch.
+    The reference's client enforces the same invariant (influxdb-java's
+    Point builder rejects an empty field map), so the SERIALIZER fails
+    loudly; the shipped WRITERS (influx_lines_foreach_batch /
+    _foreach_partition) pre-filter such points with a logged count
+    instead, so one all-null aggregate row (e.g. an outer-join result)
+    degrades to a dropped point, not a crash-looping streaming query
+    (ADVICE r8)."""
+    tags, fields = _as_dict(tags), _renderable_fields(_as_dict(fields))
     tag_part = "".join(f",{_escape(k)}={_escape(str(v))}" for k, v in sorted(tags.items()))
     field_part = ",".join(
-        f"{_escape(k)}={_field_value(v)}"
-        for k, v in sorted(fields.items())
-        if v is not None
+        f"{_escape(k)}={_field_value(v)}" for k, v in sorted(fields.items())
     )
     if not field_part:
         raise ValueError(
             f"influx_line: point for measurement {measurement!r} at ts {ts_ns} "
-            "has no non-null fields; line protocol requires at least one field "
-            "(a fieldless line would 400 the whole batch POST)"
+            "has no renderable (non-null, finite) fields; line protocol requires "
+            "at least one field (a fieldless line would 400 the whole batch POST)"
         )
     return f"{_escape(measurement)}{tag_part} {field_part} {ts_ns}"
 
@@ -138,6 +158,31 @@ def _ts_ns(ts) -> int:
     return math.floor(ts.timestamp()) * 1_000_000_000 + ts.microsecond * 1_000
 
 
+def _render_rows(rows, batch_id) -> list[str]:
+    """Rows → line protocol, DROPPING points with no renderable fields
+    (logged with a count) instead of letting influx_line raise: inside
+    foreachBatch an exception fails the whole streaming query and a
+    restart replays the same batch — a crash LOOP from one all-null
+    aggregate row. A dropped point + warning is the sink-appropriate
+    degradation (at-least-once delivery already tolerates gaps)."""
+    lines: list[str] = []
+    skipped = 0
+    for r in rows:
+        fields = _renderable_fields(_as_dict(r["fields"]))
+        if not fields:
+            skipped += 1
+            continue
+        lines.append(influx_line(r["measurement"], r["tags"], fields, _ts_ns(r["ts"])))
+    if skipped:
+        _LOG.warning(
+            "influx sink: dropped %d fieldless point(s) (all fields null/non-finite) "
+            "in batch %s",
+            skipped,
+            batch_id,
+        )
+    return lines
+
+
 def influx_lines_foreach_batch(
     url: str | None = None,
     writer: Callable[[list[str]], None] | None = None,
@@ -148,19 +193,12 @@ def influx_lines_foreach_batch(
     given, else a no-op collector — tests inject their own writer.
     The collect here is safe: input is the *aggregated* result stream
     (windows/top-1 rows), orders of magnitude smaller than the source.
+    Points with no renderable fields are dropped with a logged count
+    (see _render_rows), never shipped and never raised.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
-        lines = [
-            influx_line(
-                r["measurement"],
-                r["tags"],
-                r["fields"],
-                _ts_ns(r["ts"]),
-            )
-            for r in rows
-        ]
+        lines = _render_rows(batch_df.collect(), batch_id)
         if writer is not None:
             writer(lines)
         elif url is not None:  # pragma: no cover - needs a live InfluxDB
@@ -194,20 +232,14 @@ def influx_lines_foreach_partition(
     ``writer`` (must be serializable — it runs ON THE EXECUTORS) receives
     each non-empty partition's lines; defaults to an HTTP POST to ``url``.
     Delivery stays at-least-once like the driver-side variant: a batch
-    retry may re-POST partitions that already succeeded.
+    retry may re-POST partitions that already succeeded. Fieldless
+    points are dropped with a per-partition logged count (executor
+    logs), same policy as the driver-side writer.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def handle_partition(rows) -> None:
-            lines = [
-                influx_line(
-                    r["measurement"],
-                    r["tags"],
-                    r["fields"],
-                    _ts_ns(r["ts"]),
-                )
-                for r in rows
-            ]
+            lines = _render_rows(rows, batch_id)
             if not lines:
                 return
             if writer is not None:

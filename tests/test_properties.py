@@ -680,6 +680,14 @@ _field_val = st.one_of(
     st.booleans(),
     st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
 )
+# the wire-facing domain additionally carries the UNRENDERABLE values the
+# serializer must drop (line protocol has no null, InfluxDB no NaN/inf —
+# ADVICE r8: the old property excluded these, so nothing pinned the drop)
+_field_val_wire = st.one_of(
+    _field_val,
+    st.none(),
+    st.sampled_from([float("nan"), float("inf"), float("-inf")]),
+)
 
 
 def _parse_influx_line(line: str):
@@ -755,7 +763,7 @@ def _parse_influx_line(line: str):
 @given(
     measurement=_ident,
     tags=st.dictionaries(_ident, _ident, max_size=3),
-    fields=st.dictionaries(_ident, _field_val, min_size=1, max_size=4),
+    fields=st.dictionaries(_ident, _field_val_wire, min_size=1, max_size=4),
     ts=st.integers(min_value=0, max_value=2**62),
 )
 def test_influx_line_round_trips_through_line_protocol(measurement, tags, fields, ts):
@@ -765,16 +773,32 @@ def test_influx_line_round_trips_through_line_protocol(measurement, tags, fields
     (comma/space/equals), integer `i` suffixes, bool literals, and string
     quoting with backslash/quote escapes are each round-trip-verified
     rather than example-pinned. (Floats compare via repr round-trip,
-    which Python guarantees exact.)"""
+    which Python guarantees exact.) None and non-finite floats are in
+    the input domain but NOT on the wire: the serializer drops those
+    fields (never emits a bare nan/inf token that would 400 the batch),
+    and raises if nothing renderable remains."""
+    import math
+
+    import pytest
+
     from flink_streaming_twitter_spark.streaming.sinks import influx_line
 
+    renderable = {
+        k: v
+        for k, v in fields.items()
+        if v is not None and not (isinstance(v, float) and not math.isfinite(v))
+    }
+    if not renderable:
+        with pytest.raises(ValueError, match="no renderable"):
+            influx_line(measurement, tags, fields, ts)
+        return
     line = influx_line(measurement, tags, fields, ts)
     m, t, f, ts2 = _parse_influx_line(line)
     assert m == measurement
     assert t == {k: str(v) for k, v in tags.items()}
     assert ts2 == ts
-    assert set(f) == set(fields)
-    for k, v in fields.items():
+    assert set(f) == set(renderable)
+    for k, v in renderable.items():
         if isinstance(v, float) and not isinstance(v, bool):
             assert f[k] == float(repr(v))
         else:

@@ -519,10 +519,80 @@ def test_influx_line_escapes_specials_and_types_values():
     # a point whose every field is null must raise, not serialize: a
     # fieldless line is invalid line protocol and would 400 the whole
     # batch POST (influxdb-java's Point builder enforces the same)
-    with pytest.raises(ValueError, match="no non-null fields"):
+    with pytest.raises(ValueError, match="no renderable"):
         influx_line("m", {"t": "x"}, {"n": None}, 7)
-    with pytest.raises(ValueError, match="no non-null fields"):
+    with pytest.raises(ValueError, match="no renderable"):
         influx_line("m", {}, {}, 7)
+
+
+def test_influx_line_drops_non_finite_floats_like_nulls():
+    """ADVICE r8: InfluxDB has no NaN/inf field value — repr() would put
+    a bare 'nan' token on the wire and 400 the whole batch POST. The
+    serializer treats non-finite exactly like null: the FIELD is
+    dropped; a point left with no fields raises (and the writers
+    pre-filter it — separate test)."""
+    line = influx_line("m", {}, {"ok": 1.5, "bad": float("nan")}, 7)
+    assert line == "m ok=1.5 7"
+    line = influx_line("m", {}, {"a": float("inf"), "b": 2}, 7)
+    assert line == "m b=2i 7"
+    with pytest.raises(ValueError, match="no renderable"):
+        influx_line("m", {}, {"a": float("nan"), "b": float("-inf")}, 7)
+
+
+def test_writers_drop_fieldless_points_instead_of_failing_the_query(spark, caplog):
+    """ADVICE r8: influx_line raising inside foreachBatch fails the
+    whole streaming query, and a restart replays the same batch — a
+    crash LOOP from one all-null aggregate row (e.g. an outer-join
+    result). Both shipped writers must instead DROP such points with a
+    logged count and ship every renderable line of the same batch."""
+    import logging as _logging
+
+    from flink_streaming_twitter_spark.streaming.sinks import (
+        influx_lines_foreach_batch,
+        influx_lines_foreach_partition,
+    )
+
+    rows = [
+        (BASE, "a", 5),
+        (BASE + dt.timedelta(seconds=1), "b", None),  # all-null fields
+        (BASE + dt.timedelta(seconds=2), "c", 7),
+    ]
+    df = spark.createDataFrame(rows, ["window_end", "hashtag", "cnt"])
+    points = to_influx_points(
+        df, "TrendingHashTagFlink1", "window_end",
+        {"hashtag": "hashtag"}, {"count": "cnt"},
+    )
+
+    shipped: list[str] = []
+    with caplog.at_level(_logging.WARNING, logger="flink_streaming_twitter_spark.streaming.sinks"):
+        influx_lines_foreach_batch(writer=shipped.extend)(points, 42)
+    assert len(shipped) == 2
+    assert all("count=" in ln for ln in shipped)
+    assert not any(",hashtag=b " in ln for ln in shipped)
+    assert any("dropped 1 fieldless point" in r.message for r in caplog.records)
+
+    # executor-side variant: same policy. The writer runs in executor
+    # Python workers, so collect lines via files (as the partition-writer
+    # test above does); the drop-count warning lands in executor logs.
+    import glob
+    import os
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="influx_fieldless_")
+    try:
+
+        def file_writer(lines):
+            with open(os.path.join(d, uuid.uuid4().hex), "w") as fh:
+                fh.write("\n".join(lines))
+
+        influx_lines_foreach_partition(writer=file_writer)(points.coalesce(1), 42)
+        shipped2: list[str] = []
+        for p in glob.glob(os.path.join(d, "*")):
+            with open(p) as fh:
+                shipped2.extend(fh.read().splitlines())
+        assert sorted(shipped2) == sorted(shipped)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_influx_timestamp_conversion_is_exact_at_microsecond_resolution():
