@@ -204,11 +204,20 @@ def _shingles_sql(bits: int = 31) -> str:
     functions.hashing: 60 bits = first 15 md5 hex digits as int64;
     31 bits = the same value mod 2^31 (MinHash's multiplicand bound).
     ``bits=60`` is the exact-Jaccard deploy width (past the 2^31
-    birthday regime — SCALE.md r6)."""
+    birthday regime — SCALE.md r6).
+
+    NULL text is filtered like doc_shingle_sets does (round 9, same
+    by-construction contract as DEDUP_EXACT_SQL): without the WHERE,
+    DuckDB hands each NULL-text doc a (doc_id, NULL) shingle row and an
+    all-NULL minhash signature whose band key concat_ws-collapses to ''
+    — downstream est-Jaccard thresholds happened to filter the
+    resulting pairs, but the shingle-tier oracles would be agreeing
+    with the operators by accident, not construction."""
     mod = "\n      % 2147483648" if bits == 31 else ""
     return f"""
 toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk
+  FROM documents WHERE text IS NOT NULL
 ),
 shingles AS (
   SELECT DISTINCT doc_id,

@@ -83,11 +83,13 @@ def test_dedup_oracles_agree_with_operators_on_null_bearing_corpus(spark):
     from pyspark.sql import functions as F
 
     from flink_streaming_twitter_spark.operators.graph import connected_components
+    from flink_streaming_twitter_spark.plans import params as P
     from flink_streaming_twitter_spark.plans.dedup import (
         DEDUP_EXACT_SQL,
         _cluster_output,
         _clusters_sql,
         _dup_evidence,
+        _minhash_lsh_sql,
     )
 
     rows = DOCS + [(90, None), (91, None), (92, None)]
@@ -99,14 +101,42 @@ def test_dedup_oracles_agree_with_operators_on_null_bearing_corpus(spark):
     )
     got_clusters = {tuple(r) for r in _cluster_output(comp).collect()}
 
+    def _mh(max_bucket):
+        return {
+            (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+            for r in minhash_lsh_dedup(
+                docs,
+                num_perm=P.MINHASH_PERMS,
+                bands=P.MINHASH_BANDS,
+                est_threshold=P.MINHASH_EST_THRESHOLD,
+                shingle_k=P.SHINGLE_K,
+                max_bucket=max_bucket,
+            ).collect()
+        }
+
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     exp_exact = {tuple(r) for r in con.execute(DEDUP_EXACT_SQL).fetchall()}
     exp_clusters = {tuple(r) for r in con.execute(_clusters_sql()).fetchall()}
+    exp_mh = {
+        (a, b, round(j, 9)) for a, b, j in con.execute(_minhash_lsh_sql()).fetchall()
+    }
+    exp_mh_capped = {
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(_minhash_lsh_sql(cap=P.LSH_CAP_BINDING)).fetchall()
+    }
     con.close()
 
     assert got_exact == exp_exact
     assert got_clusters == exp_clusters
+    # shingle-tier oracles carry the same filter since round 9 (before,
+    # NULL docs got an all-NULL signature whose pairs only vanished
+    # because the est threshold is > 0 — agreement by accident)
+    assert _mh(None) == exp_mh and exp_mh
+    # binding cap: docs 0/1/2 share identical signatures (occupancy 3),
+    # so cap=2 drops their buckets on BOTH sides identically
+    assert _mh(P.LSH_CAP_BINDING) == exp_mh_capped
+    assert exp_mh_capped < exp_mh
     # and the intended semantics, not merely mutual agreement: NULL docs
     # are absent from exact output, singleton self-clusters in clusters
     assert all(kept not in {90, 91, 92} for _, kept, _ in exp_exact)
