@@ -507,12 +507,21 @@ def oversized_buckets(
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
-) -> DataFrame:
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    accounting: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """(doc_a, doc_b, hamming) for pairs within Hamming distance
     max_hamming, via 4×15-bit band blocking (pigeonhole-complete for
     max_hamming ≤ 3) + exact xor/bit_count verification. ``max_bucket``
-    (opt-in) drops oversized band buckets — see cap_bucket_size.
+    (opt-in) drops oversized band buckets — see cap_bucket_size;
+    ``accounting=True`` returns ``(pairs, dropped_buckets)`` with the
+    dropped (band, key) occupancies, the same loss ledger the
+    MinHash-LSH paths carry — doubly important here because capping
+    SimHash bands silently loses TRUE Hamming≤3 pairs (the docstring
+    caveat above), so an opted-in cap should always ship with its
+    ledger.
 
     OUTPUT MANAGEMENT AT SCALE: the raw pair stream is output-bound by
     design — near-dup CLUSTERS of size c emit c(c−1)/2 pairs, so pair
@@ -545,10 +554,10 @@ def simhash_near_pairs(
     banded = fps.select("doc_id", "simhash", F.explode(band_structs).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.key").alias("key")
     )
-    banded = cap_bucket_size(banded, ["band", "key"], max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
+    capped = cap_bucket_size(banded, ["band", "key"], max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -563,3 +572,6 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if accounting:
+        return pairs, _dropped_bucket_metrics(banded, ["band", "key"], max_bucket)
+    return pairs

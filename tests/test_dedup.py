@@ -399,6 +399,21 @@ def test_accounting_surface_reports_exactly_the_dropped_buckets(spark):
         _, default_dropped = fn(docs, max_bucket=DEFAULT_LSH_MAX_BUCKET, accounting=True)
         assert default_dropped.count() == 0, fn.__name__
 
+    # SimHash symmetry: its cap is opt-in (capping bands can lose TRUE
+    # Hamming<=3 pairs), so an opted-in cap must ship with the ledger.
+    # Docs 0/1/2 share identical fingerprints -> 4 band buckets at
+    # occupancy >= 3; cap=2 drops them all and reports each one.
+    sh_pairs, sh_dropped = simhash_near_pairs(docs, max_bucket=2, accounting=True)
+    assert sh_dropped.columns == ["band", "key", "occupancy"]
+    dropped_rows = sh_dropped.collect()
+    assert len(dropped_rows) >= 4 and all(r.occupancy >= 3 for r in dropped_rows)
+    got_sh = {(r.doc_a, r.doc_b) for r in sh_pairs.collect()}
+    plain_sh = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_bucket=2).collect()}
+    assert got_sh == plain_sh
+    assert (0, 1) not in got_sh  # the identical trio is capped away
+    _, sh_none = simhash_near_pairs(docs, accounting=True)  # cap disabled
+    assert sh_none.count() == 0
+
 
 @pytest.mark.parametrize(
     "corpus_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
