@@ -28,10 +28,14 @@ every plane), no zero-norm IVF centroids. Real corpora DO carry encoder
 failures as NULLs; "unknown similarity" must not surface as a neighbor.
 Each tier filters ``l2_norm > 0`` on the per-row norm it already
 carries (one predicate covers both cases: a NULL norm compares NULL),
-so the contract costs no extra array traversal. Gate corpora contain no
-such rows (measured at every SF), so the oracles see identical inputs;
-the contract is pinned by
-tests/test_similarity_and_multimodal.py::test_unscorable_vectors_excluded_from_all_ann_tiers.
+so the contract costs no extra array traversal. Since round 9 the
+DuckDB oracles reproduce the filter (the ``scorable`` CTE in
+plans/similarity.py), so operator/oracle parity holds by construction
+on NULL-bearing corpora — verified by the round-9 full-suite audit on
+an augmented corpus — and the contract is pinned by
+tests/test_similarity_and_multimodal.py::test_unscorable_vectors_excluded_from_all_ann_tiers
+plus test_embedding_cosine_dedup_survives_unscorable_vectors for the
+embedding-dedup modality.
 
 Norms-once-per-row discipline (every tier): the candidate re-rank
 computes ``dot/(q_norm*v_norm)`` from norms carried per ROW — never

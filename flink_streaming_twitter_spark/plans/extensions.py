@@ -56,29 +56,39 @@ ROUND9_WINDOW: tuple[str, ...] = (
     "q_mix_weighted",
     "q_text_normalize",
     "q_text_normalize_nfc",
-    # 2. remaining 7 slots: changed-files-first — round 9 changed
-    #    plans/dedup.py (WHERE text IS NOT NULL added to DEDUP_EXACT_SQL
-    #    and _clusters_sql's exact_pairs CTE) and operators/dedup.py
-    #    (accounting=True cap-loss ledger on the MinHash-LSH paths;
-    #    lsh_verified_jaccard now routes through the accounting form
-    #    internally). Mandatory dependents: dedup_exact + dedup_clusters
-    #    (their oracle SQL changed; dedup_clusters_star shares that SQL
-    #    and sits in block 1), dedup_minhash_lsh /
-    #    dedup_minhash_lsh_capped / dedup_lsh_exact (operator code
-    #    changed). The last 2 slots keep dedup_simhash and
-    #    dedup_ngram_jaccard in-window (same registration file; all r8
-    #    candidates are equally r8-green, so family coherence wins).
-    #    To the tail, with reasons: dedup_ngram_jaccard_60bit (r8-green
-    #    params twin of in-window dedup_ngram_jaccard — identical code
-    #    path, untouched ngram_jaccard_pairs) and dedup_embedding_cosine
-    #    (r8-green; plans/similarity.py untouched this round).
+    # 2. remaining 7 slots: changed-files-first, ranked by divergence
+    #    risk — round 9 changed plans/dedup.py (WHERE text IS NOT NULL
+    #    in DEDUP_EXACT_SQL, _clusters_sql's exact_pairs CTE, and the
+    #    shared _shingles_sql CTE), operators/dedup.py (accounting=True
+    #    cap-loss ledger, default-off and plan-pinned inert), and —
+    #    late-round, from the NULL-corpus oracle audit —
+    #    plans/similarity.py (ALL FOUR ANN oracles restructured around
+    #    the scorable CTE; dedup_embedding_cosine's operator gained the
+    #    unscorable-vector norm filter). In-window: the two direct-SQL
+    #    dedup edits (dedup_exact, dedup_clusters; dedup_clusters_star
+    #    shares that SQL from block 1), the four restructured-oracle
+    #    similarity entries (dedup_embedding_cosine, similarity_brute/
+    #    lsh/ivf_topk), and dedup_minhash_lsh as the representative of
+    #    the shared _shingles_sql edit + the accounting code path.
+    #    Documented tail EXEMPTIONS (31 + 11 changed-file dependents >
+    #    38 slots; every exemption re-verified green locally at sf0.01
+    #    under final code, plus the full-81 NULL-corpus audit):
+    #    dedup_minhash_lsh_capped + dedup_lsh_exact (same _shingles_sql
+    #    + accounting paths as in-window dedup_minhash_lsh; the cap CTE
+    #    itself is untouched and r8-hash-certified where it binds),
+    #    dedup_ngram_jaccard + _60bit (only the one-line _shingles_sql
+    #    WHERE; NULL micro-corpus test pins the semantics),
+    #    dedup_simhash (oracle untouched — own tok CTE; operator change
+    #    is the additive default-off ledger, plan-identical when off),
+    #    q_embedding_norms (registered in the changed similarity file
+    #    but its SQL and entry code are byte-identical this round).
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_lsh_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
 )
 
 

@@ -68,12 +68,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine_sim's order, bit-identical results).
     from ..functions.vectors import dot_product, l2_norm
 
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("norm"),
-        lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket"),
-    ).persist()
+    # Unscorable-vector contract (operators/similarity.py module
+    # docstring) applies to this fourth dedup modality too: filter on
+    # the carried norm BEFORE the self-join — a NULL norm compares NULL,
+    # so one predicate drops both NULL embeddings and zero vectors.
+    # Without it one encoder-failure row crashes the whole pass under
+    # ANSI mode (0/0 → DIVIDE_BY_ZERO; caught by the round-9 NULL-corpus
+    # oracle audit — the ANN tiers filtered, this entry didn't).
+    b = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("norm"),
+            lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket"),
+        )
+        .filter(F.col("norm") > 0)
+        .persist()
+    )
     x, y = b.alias("x"), b.alias("y")
     cos = FF.round(
         dot_product(FF.col("x.embedding"), FF.col("y.embedding"))
@@ -135,11 +146,30 @@ round(
   6)
 """
 
+# The ANN tiers' unscorable-vector contract (operators/similarity.py
+# module docstring): NULL and zero-norm embeddings take part on NEITHER
+# side. The oracles reproduce it with this shared prefix so parity holds
+# by construction on NULL-bearing corpora, not by NULL-ordering accident
+# (round-9 audit: rows with sim=NULL happened to rank below top-k in the
+# brute/IVF oracles, while the LSH/cosine oracles CRASHED outright —
+# DuckDB's list_inner_product rejects any vector batch containing a NULL
+# list, which is also why the IS-NOT-NULL filter sits in its own
+# MATERIALIZED CTE: it must be applied before any dot product sees the
+# batch, and an inlined filter's evaluation order is not guaranteed).
+_SCORABLE = """nonnull AS MATERIALIZED (
+  SELECT * FROM embeddings WHERE embedding IS NOT NULL
+),
+scorable AS (
+  SELECT * FROM nonnull
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+)"""
+
 BRUTE_SQL = f"""
-WITH q AS (SELECT * FROM embeddings WHERE vec_id < {P.ANN_NUM_QUERIES}),
+WITH {_SCORABLE},
+q AS (SELECT * FROM scorable WHERE vec_id < {P.ANN_NUM_QUERIES}),
 sims AS (
   SELECT q.vec_id AS q_id, c.vec_id AS vec_id, {_COS} AS sim
-  FROM embeddings c CROSS JOIN q
+  FROM scorable c CROSS JOIN q
   WHERE c.vec_id <> q.vec_id
 ),
 ranked AS (
@@ -167,8 +197,9 @@ def _bucket_expr(alias: str) -> str:
 
 def _lsh_sql() -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_expr('embeddings')} AS bucket FROM embeddings
+WITH {_SCORABLE},
+b AS (
+  SELECT vec_id, embedding, {_bucket_expr('scorable')} AS bucket FROM scorable
 ),
 q AS (SELECT vec_id AS q_id, embedding, bucket AS q_bucket FROM b WHERE vec_id < {P.ANN_NUM_QUERIES}),
 sims AS (
@@ -195,8 +226,9 @@ round(
 
 def _ivf_sql() -> str:
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings
+WITH {_SCORABLE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_vec FROM scorable
   WHERE vec_id % {P.IVF_SEED_MOD} = {P.IVF_SEED_REM}
 ),
 assigned AS (
@@ -204,7 +236,7 @@ assigned AS (
     SELECT x.vec_id, x.embedding, y.cent_id,
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY {_COS_XY} DESC, y.cent_id ASC) AS crank
-    FROM embeddings x CROSS JOIN cents y
+    FROM scorable x CROSS JOIN cents y
   ) WHERE crank = 1
 ),
 probes AS (
@@ -212,7 +244,7 @@ probes AS (
     SELECT x.vec_id, x.embedding, y.cent_id,
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY {_COS_XY} DESC, y.cent_id ASC) AS crank
-    FROM embeddings x CROSS JOIN cents y
+    FROM scorable x CROSS JOIN cents y
     WHERE x.vec_id < {P.ANN_NUM_QUERIES}
   ) WHERE crank <= {P.IVF_NPROBE}
 ),
@@ -236,8 +268,9 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
 
 def _emb_cosine_dedup_sql() -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_expr('embeddings')} AS bucket FROM embeddings
+WITH {_SCORABLE},
+b AS (
+  SELECT vec_id, embedding, {_bucket_expr('scorable')} AS bucket FROM scorable
 ),
 pairs AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -74,6 +74,38 @@ def test_unscorable_vectors_excluded_from_all_ann_tiers(spark):
     assert brute_force_topk(emb.filter("vec_id < 0"), emb, k=3).count() == 0
 
 
+def test_embedding_cosine_dedup_survives_unscorable_vectors(spark, sf_dir, tmp_path):
+    """dedup_embedding_cosine inherits the ANN unscorable-vector
+    contract (round-9 NULL-corpus oracle audit: the ANN tiers filtered
+    on the carried norm but this fourth dedup modality didn't — one
+    zero-norm encoder-failure row crashed the whole pass with ANSI
+    DIVIDE_BY_ZERO, and a NULL embedding would crash the DuckDB oracle's
+    list_inner_product too). Adding unscorable rows must leave the pair
+    output IDENTICAL, not raise."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.plans.similarity import dedup_embedding_cosine
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    bad = emb.limit(2).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit(None))
+        .otherwise(F.array(*[F.lit(0.0)] * dim))
+        .cast("array<float>")
+        .alias("embedding"),
+        F.col("label"),
+    )
+    aug_dir = str(tmp_path / "aug")
+    emb.unionByName(bad).coalesce(1).write.parquet(f"{aug_dir}/embeddings.parquet")
+
+    base = {tuple(r) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    aug = {tuple(r) for r in dedup_embedding_cosine(spark, aug_dir).collect()}
+    assert aug == base
+    assert base  # non-vacuous: the gate corpus has near-dup vectors
+
+
 def test_lsh_bucket_mates_include_identical_vector(spark):
     emb = _emb(spark)
     out = lsh_topk(emb, emb.filter("vec_id = 0"), k=4, num_planes=8, dim=4).collect()

@@ -30,7 +30,18 @@ def compare(name, spark_df, duck_df) -> list[str]:
         df = df.copy()
         for c in df.columns:
             if df[c].dtype == object:
-                df[c] = df[c].astype(str)
+                # SQL NULL arrives as None from Spark's toPandas but as
+                # float NaN from DuckDB's df() in object columns (e.g. a
+                # nullable BOOLEAN like q_text_normalize's `changed`);
+                # astype(str) would split them into 'None' vs 'nan'.
+                # Canonicalize both to one sentinel — only visible on
+                # NULL-bearing AUDIT corpora (gate corpora carry no NULLs,
+                # so this changes nothing the driver's own hash would see).
+                df[c] = df[c].map(
+                    lambda v: "<NULL>"
+                    if v is None or (isinstance(v, float) and v != v)
+                    else str(v)
+                )
         return df.sort_values(by=list(df.columns), ignore_index=True)
 
     sp, dp = canon(sp), canon(dp)

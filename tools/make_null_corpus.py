@@ -1,0 +1,81 @@
+"""Build the NULL-bearing oracle-audit corpus: a copy of a gate SF dir
+with the edge-input rows real 100 TB corpora contain but the synthetic
+gate tables don't (README "Edge-input contracts") —
+
+- documents: 3 NULL-text rows (failed fetches / encoder failures), with
+  NULL and non-NULL lang/source so downstream group-bys see both;
+- embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable).
+
+Every queries() entry can then be driven against its DuckDB oracle on
+data where the NULL contracts actually bind:
+
+    python tools/make_null_corpus.py            # sf0.001 -> /tmp/sfnull
+    python tools/check_oracle.py /tmp/sfnull    # expect 81/81 OK
+
+Round-9 findings from this audit (all fixed, all pinned by unit tests):
+the text-normalize comparison split on None-vs-NaN NULL rendering
+(harness canon), the LSH/embedding-cosine oracles crashed on NULL
+vectors (DuckDB's list_inner_product rejects any vector batch holding a
+NULL list — hence the scorable CTE), the brute/IVF oracles only agreed
+because sim=NULL rows happened to rank below top-k, and
+dedup_embedding_cosine's OPERATOR crashed with ANSI DIVIDE_BY_ZERO on a
+zero-norm vector (the one genuine Spark-side bug: the ANN tiers
+filtered on the carried norm, the fourth dedup modality didn't).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+
+
+def build(src: str, dst: str) -> None:
+    import duckdb
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for p in glob.glob(os.path.join(src, "*.parquet")):
+        name = os.path.basename(p)
+        if name in ("documents.parquet", "embeddings.parquet"):
+            continue
+        if os.path.isdir(p):
+            shutil.copytree(p, os.path.join(dst, name))
+        else:
+            shutil.copy(p, os.path.join(dst, name))
+
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/documents.parquet'
+  UNION ALL SELECT 9000001, NULL, 'en', 'web', NULL
+  UNION ALL SELECT 9000002, NULL, NULL, 'web', NULL
+  UNION ALL SELECT 9000003, NULL, 'de', NULL,  NULL
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+    (dim,) = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet'
+  UNION ALL SELECT 9000001, NULL, 0
+  UNION ALL SELECT 9000002, list_transform(range({dim}), x -> 0.0::FLOAT), 1
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
+    docs = con.execute(
+        f"SELECT count(*), count(text) FROM '{dst}/documents.parquet'"
+    ).fetchone()
+    embs = con.execute(
+        f"SELECT count(*), count(embedding) FROM '{dst}/embeddings.parquet'"
+    ).fetchone()
+    con.close()
+    print(f"{dst}: documents {docs[0]} rows ({docs[0] - docs[1]} NULL text), "
+          f"embeddings {embs[0]} rows ({embs[0] - embs[1]} NULL vec + 1 zero vec)")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfnull"
+    build(src, dst)
