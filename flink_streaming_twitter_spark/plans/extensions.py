@@ -81,7 +81,13 @@ ROUND9_WINDOW: tuple[str, ...] = (
     #    dedup_simhash (oracle untouched — own tok CTE; operator change
     #    is the additive default-off ledger, plan-identical when off),
     #    q_embedding_norms (registered in the changed similarity file
-    #    but its SQL and entry code are byte-identical this round).
+    #    but its SQL and entry code are byte-identical this round), and
+    #    events_sessionize (the events leg of the audit added the same
+    #    one-line ts IS NOT NULL its gaps-and-islands twin
+    #    stream_session_counts carries — THAT twin is in the always-
+    #    verified 12-entry head, as are all 8 other windowed oracles the
+    #    events leg touched; the Spark drop contract is pinned by
+    #    test_null_event_time_takes_part_in_no_window).
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash_lsh",

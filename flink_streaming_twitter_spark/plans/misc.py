@@ -158,6 +158,7 @@ WITH o AS (
               OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_s
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (

@@ -9,7 +9,19 @@ value-hash comparison passes):
 - money aggregates run in DECIMAL (exact, engine-portable) and are cast to
   DOUBLE only at output;
 - every hash is md5-hex-digits→integer (portable across engines);
-- ties are always broken deterministically (documented per query).
+- ties are always broken deterministically (documented per query);
+- every time-windowed/sessionized oracle filters ``ts IS NOT NULL``
+  (round-9 events NULL-corpus audit): Spark's window()/session_window
+  generate NO window for a NULL timestamp — an event without event time
+  cannot be placed in any window, matching the reference, whose tweet
+  parse drops null timestamps before assignment — while SQL's epoch
+  arithmetic would GROUP BY the NULL into one extra row. Entries whose
+  later filters happened to swallow the NULL group (qa's sampling
+  modulo, the stream entries' watermark comparison) carry the filter
+  anyway so parity is by construction, not accident. Non-windowed
+  NULL keys (user_id, event_type) are kept identically by BOTH engines'
+  GROUP BY/DISTINCT, so they need no special casing — the audit runs
+  them green.
 """
 
 from __future__ import annotations
@@ -29,6 +41,7 @@ WITH slid AS (
     event_type
   FROM events
   CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+  WHERE ts IS NOT NULL
 ),
 counts AS (
   SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
@@ -49,6 +62,7 @@ WITH slid AS (
     event_type
   FROM events
   CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+  WHERE ts IS NOT NULL
 ),
 stage1 AS (
   SELECT w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
@@ -72,7 +86,7 @@ QC_RUNNING_TOTAL = f"""
 WITH per_bucket AS (
   SELECT CAST(floor(epoch(ts)/{P.RUNNING_BUCKET_S}) AS BIGINT)*{P.RUNNING_BUCKET_S} AS bucket_start,
          count(*) AS cnt
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 )
 SELECT bucket_start, cnt,
        CAST(sum(cnt) OVER (ORDER BY bucket_start
@@ -85,7 +99,7 @@ QD_COUNTS_PER_WINDOW = f"""
 SELECT CAST(floor(epoch(ts)/{P.TUMBLE_SIZE_S}) AS BIGINT)*{P.TUMBLE_SIZE_S} AS w_start,
        CAST(floor(epoch(ts)/{P.TUMBLE_SIZE_S}) AS BIGINT)*{P.TUMBLE_SIZE_S} + {P.TUMBLE_SIZE_S} AS w_end,
        count(*) AS cnt
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 Q_JSON_EXTRACT = """
@@ -108,6 +122,7 @@ WITH slid AS (
     event_type, value
   FROM events
   CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+  WHERE ts IS NOT NULL
 )
 SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -134,6 +149,7 @@ WITH slid AS (
     event_type
   FROM events
   CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+  WHERE ts IS NOT NULL
 )
 SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
 FROM slid GROUP BY 1, 2, 3
@@ -161,6 +177,7 @@ WITH slid AS (
     event_type
   FROM events
   CROSS JOIN (FROM range(0, {P.TREND_SIZE_S // P.TREND_SLIDE_S}) t(k)) k
+  WHERE ts IS NOT NULL
 ),
 stage1 AS (
   SELECT w_start + {P.TREND_SIZE_S} AS w_end, event_type, count(*) AS cnt
@@ -204,6 +221,7 @@ WITH o AS (
               OR epoch(ts) - lag(epoch(ts)) OVER w > {G}
               THEN 1 ELSE 0 END AS new_s
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (

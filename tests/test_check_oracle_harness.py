@@ -72,3 +72,23 @@ def test_float_drift_beyond_tolerance_detected():
     # and within the 1e-9 band it passes (summation-order noise)
     d_ok = pd.DataFrame({"k": [1], "v": [1.0 + 1e-12]})
     assert compare("q", s, d_ok) == []
+
+
+def test_sql_null_renderings_canonicalize_but_null_vs_value_still_fails():
+    """Spark's toPandas hands SQL NULL over as None; DuckDB's df() hands
+    it over as float NaN inside object columns (seen on
+    q_text_normalize's nullable-BOOLEAN `changed` during the round-9
+    NULL-corpus audit). Both are the same SQL NULL, so compare() must
+    treat them as equal — while a NULL on one side versus a real value
+    on the other must stay a mismatch (the canon must not swallow
+    genuine divergence)."""
+    s = _spark(k=[1, 2], flag=[None, True])
+    d = pd.DataFrame({"k": [1, 2], "flag": [float("nan"), True]})
+    assert compare("q", s, d) == []
+
+    d_bad = pd.DataFrame({"k": [1, 2], "flag": [False, True]})
+    assert any("mismatches" in p for p in compare("q", s, d_bad))
+    # and the string 'None'/'nan' must not collide with the sentinel
+    s2 = _spark(k=[1], v=["None"])
+    d2 = pd.DataFrame({"k": [1], "v": [None]})
+    assert any("mismatches" in p for p in compare("q", s2, d2))

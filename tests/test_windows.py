@@ -83,3 +83,45 @@ def test_two_stage_trending_equals_reference_shape(spark):
     by_win = {r.sample_w_start: (r.top_hashtag, r.top_cnt) for r in top.collect()}
     # every sampling window containing a stage-1 end sees #a as top (2>1)
     assert all(v == ("#a", 2) for v in by_win.values())
+
+
+def test_null_event_time_takes_part_in_no_window(spark, sf_dir, tmp_path):
+    """Edge-input contract, events leg (round-9 audit): an event whose
+    timestamp is NULL cannot be placed in any window — Spark's
+    window()/session_window generate no window for it, matching the
+    reference (its tweet parse drops null timestamps before assignment),
+    and since round 9 every windowed DuckDB oracle filters
+    ts IS NOT NULL so parity is by construction. Pin the Spark side:
+    adding NULL-ts events to the corpus leaves every windowed entry's
+    output IDENTICAL. (NULL user_id/event_type/value rows are ordinary
+    group keys both engines keep — covered by the full NULL-corpus
+    audit, tools/make_null_corpus.py.)"""
+    from flink_streaming_twitter_spark.plans.misc import events_sessionize
+    from flink_streaming_twitter_spark.plans.reference_queries import (
+        q_value_by_window,
+        qb_trending_single,
+        qc_running_total,
+        qd_counts_per_window,
+    )
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    nulled = (
+        events.limit(3)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("ts", F.lit(None).cast(events.schema["ts"].dataType))
+    )
+    aug_dir = str(tmp_path / "aug")
+    events.unionByName(nulled).coalesce(1).write.parquet(f"{aug_dir}/events.parquet")
+
+    for entry in (
+        qb_trending_single,
+        qc_running_total,
+        qd_counts_per_window,
+        q_value_by_window,
+        events_sessionize,
+    ):
+        base = {tuple(r) for r in entry(spark, sf_dir).collect()}
+        aug = {tuple(r) for r in entry(spark, aug_dir).collect()}
+        assert aug == base, entry.__name__
+        assert base, entry.__name__  # non-vacuous

@@ -4,7 +4,11 @@ gate tables don't (README "Edge-input contracts") —
 
 - documents: 3 NULL-text rows (failed fetches / encoder failures), with
   NULL and non-NULL lang/source so downstream group-bys see both;
-- embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable).
+- embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable);
+- events: one row each with NULL ts (unwindowable), NULL user_id, NULL
+  event_type, and NULL value+props — the first exercises the
+  windowed-oracle ts IS NOT NULL contract, the rest are ordinary NULL
+  group keys both engines must keep identically.
 
 Every queries() entry can then be driven against its DuckDB oracle on
 data where the NULL contracts actually bind:
@@ -38,7 +42,7 @@ def build(src: str, dst: str) -> None:
     os.makedirs(dst)
     for p in glob.glob(os.path.join(src, "*.parquet")):
         name = os.path.basename(p)
-        if name in ("documents.parquet", "embeddings.parquet"):
+        if name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             continue
         if os.path.isdir(p):
             shutil.copytree(p, os.path.join(dst, name))
@@ -64,6 +68,18 @@ COPY (
   UNION ALL SELECT 9000002, list_transform(range({dim}), x -> 0.0::FLOAT), 1
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/events.parquet'
+  UNION ALL SELECT 9000001, NULL, 42, 'click', 1.5, '{{}}'
+  UNION ALL SELECT 9000002, (SELECT min(ts) FROM '{src}/events.parquet'), NULL, 'click', 2.5, '{{}}'
+  UNION ALL SELECT 9000003, (SELECT min(ts) FROM '{src}/events.parquet'), 43, NULL, 3.5, '{{}}'
+  UNION ALL SELECT 9000004, (SELECT min(ts) FROM '{src}/events.parquet'), 44, 'view', NULL, NULL
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+    evs = con.execute(
+        f"SELECT count(*), count(ts) FROM '{dst}/events.parquet'"
+    ).fetchone()
     docs = con.execute(
         f"SELECT count(*), count(text) FROM '{dst}/documents.parquet'"
     ).fetchone()
@@ -72,7 +88,8 @@ COPY (
     ).fetchone()
     con.close()
     print(f"{dst}: documents {docs[0]} rows ({docs[0] - docs[1]} NULL text), "
-          f"embeddings {embs[0]} rows ({embs[0] - embs[1]} NULL vec + 1 zero vec)")
+          f"embeddings {embs[0]} rows ({embs[0] - embs[1]} NULL vec + 1 zero vec), "
+          f"events {evs[0]} rows ({evs[0] - evs[1]} NULL ts + 3 NULL-field rows)")
 
 
 if __name__ == "__main__":
