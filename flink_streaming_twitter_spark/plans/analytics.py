@@ -259,9 +259,19 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows beyond ranking: per-customer order sequence with
     LAG (value delta vs previous order) and a running cumulative spend
-    (rows unbounded preceding). One shuffle on custkey serves both."""
+    (rows unbounded preceding). One shuffle on custkey serves both.
+
+    The sequence ordering is EXPLICITLY nulls-last on both sides: Spark
+    defaults ASC to NULLS FIRST while DuckDB defaults to NULLS LAST, so
+    an undated order would silently shift every lag/running value in
+    the partition depending on engine (caught by the round-9 relational
+    NULL-corpus audit — 314 misaligned rows from ONE NULL date).
+    Undated orders sort to the end of their customer's sequence,
+    identically everywhere."""
     orders = load_table(spark, sf_dir, "orders")
-    seq = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
     run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_custkey",
@@ -319,7 +329,14 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
         F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99_exact"),
         F.count(F.lit(1)).alias("n"),
-        (bracket(0.5) & bracket(0.9) & bracket(0.99)).alias("sketch_ok"),
+        # coalesce: a group whose every o_totalprice is NULL has no
+        # quantiles to bracket — percentile and approx_percentile both
+        # return NULL, the comparison goes NULL, and the flag must read
+        # vacuously TRUE (the oracle emits literal TRUE), not NULL
+        # (round-9 relational NULL-corpus audit)
+        F.coalesce(
+            bracket(0.5) & bracket(0.9) & bracket(0.99), F.lit(True)
+        ).alias("sketch_ok"),
     )
 
 
@@ -749,9 +766,9 @@ SELECT o_custkey, o_orderkey,
        CAST(epoch(o_orderdate) AS BIGINT) AS order_date_s,
        o_totalprice,
        round(o_totalprice - lag(o_totalprice, 1, 0.0)
-             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS delta_vs_prev,
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC), 2) AS delta_vs_prev,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
 FROM orders
 """,

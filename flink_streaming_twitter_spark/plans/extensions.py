@@ -87,7 +87,13 @@ ROUND9_WINDOW: tuple[str, ...] = (
     #    stream_session_counts carries — THAT twin is in the always-
     #    verified 12-entry head, as are all 8 other windowed oracles the
     #    events leg touched; the Spark drop contract is pinned by
-    #    test_null_event_time_takes_part_in_no_window).
+    #    test_null_event_time_takes_part_in_no_window). The relational
+    #    leg's two fixes (q_order_deltas explicit NULLS LAST,
+    #    q_approx_percentiles vacuous-TRUE coalesce) are both
+    #    WINDOW-RESIDENT block-1 entries, so the driver verdict covers
+    #    them; the other analytics-file entries rotated to the tail are
+    #    byte-identical this round (registration-file-only exposure,
+    #    same basis as q_embedding_norms).
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash_lsh",

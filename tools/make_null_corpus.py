@@ -8,7 +8,13 @@ gate tables don't (README "Edge-input contracts") —
 - events: one row each with NULL ts (unwindowable), NULL user_id, NULL
   event_type, and NULL value+props — the first exercises the
   windowed-oracle ts IS NOT NULL contract, the rest are ordinary NULL
-  group keys both engines must keep identically.
+  group keys both engines must keep identically;
+- orders/lineitem/customer: NULL o_orderdate (the engine-default
+  NULLS FIRST/LAST window-ordering hazard), NULL measures
+  (o_totalprice, l_quantity...), NULL join/group keys (o_custkey,
+  o_orderpriority, l_returnflag, c_nationkey) — joins drop NULL keys
+  and aggregates skip NULL measures identically in both engines, which
+  the audit proves rather than assumes.
 
 Every queries() entry can then be driven against its DuckDB oracle on
 data where the NULL contracts actually bind:
@@ -40,9 +46,17 @@ def build(src: str, dst: str) -> None:
 
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
+    augmented = (
+        "documents.parquet",
+        "embeddings.parquet",
+        "events.parquet",
+        "orders.parquet",
+        "lineitem.parquet",
+        "customer.parquet",
+    )
     for p in glob.glob(os.path.join(src, "*.parquet")):
         name = os.path.basename(p)
-        if name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+        if name in augmented:
             continue
         if os.path.isdir(p):
             shutil.copytree(p, os.path.join(dst, name))
@@ -76,6 +90,28 @@ COPY (
   UNION ALL SELECT 9000003, (SELECT min(ts) FROM '{src}/events.parquet'), 43, NULL, 3.5, '{{}}'
   UNION ALL SELECT 9000004, (SELECT min(ts) FROM '{src}/events.parquet'), 44, 'view', NULL, NULL
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/orders.parquet'
+  UNION ALL SELECT 9000001, 1, 'O', 100.0, NULL, '1-URGENT'
+  UNION ALL SELECT 9000002, 2, 'F', NULL, (SELECT min(o_orderdate) FROM '{src}/orders.parquet'), NULL
+  UNION ALL SELECT 9000003, NULL, NULL, 50.0, (SELECT min(o_orderdate) FROM '{src}/orders.parquet'), '2-HIGH'
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/lineitem.parquet'
+  UNION ALL SELECT 1, 1, 1, 901, 1.0, 10.0, 0.0, 0.0, 'N', 'O', NULL
+  UNION ALL SELECT 2, 2, 2, 902, NULL, NULL, NULL, NULL, NULL, NULL,
+            (SELECT min(l_shipdate) FROM '{src}/lineitem.parquet')
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/customer.parquet'
+  UNION ALL SELECT 9000001, 'Customer#9000001', NULL, NULL, NULL
+) TO '{dst}/customer.parquet' (FORMAT PARQUET)
 """)
     evs = con.execute(
         f"SELECT count(*), count(ts) FROM '{dst}/events.parquet'"
