@@ -14,7 +14,11 @@ gate tables don't (README "Edge-input contracts") —
   (o_totalprice, l_quantity...), NULL join/group keys (o_custkey,
   o_orderpriority, l_returnflag, c_nationkey) — joins drop NULL keys
   and aggregates skip NULL measures identically in both engines, which
-  the audit proves rather than assumes.
+  the audit proves rather than assumes;
+- part/supplier/nation/region: NULL dimension join keys and attributes
+  (an all-NULL part row, a supplier/nation with no nation/region link,
+  a NULL region name) — every TPC-H join path sees a NULL on at least
+  one side. ALL TEN tables carry NULL edge rows.
 
 Every queries() entry can then be driven against its DuckDB oracle on
 data where the NULL contracts actually bind:
@@ -35,7 +39,6 @@ filtered on the carried norm, the fourth dedup modality didn't).
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import sys
@@ -46,22 +49,8 @@ def build(src: str, dst: str) -> None:
 
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
-    augmented = (
-        "documents.parquet",
-        "embeddings.parquet",
-        "events.parquet",
-        "orders.parquet",
-        "lineitem.parquet",
-        "customer.parquet",
-    )
-    for p in glob.glob(os.path.join(src, "*.parquet")):
-        name = os.path.basename(p)
-        if name in augmented:
-            continue
-        if os.path.isdir(p):
-            shutil.copytree(p, os.path.join(dst, name))
-        else:
-            shutil.copy(p, os.path.join(dst, name))
+    # every table is augmented — there is no copy-through set; the audit
+    # claim is "all 10 tables carry NULL edge rows"
 
     con = duckdb.connect()
     con.execute(f"""
@@ -112,6 +101,32 @@ COPY (
   SELECT * FROM '{src}/customer.parquet'
   UNION ALL SELECT 9000001, 'Customer#9000001', NULL, NULL, NULL
 ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+""")
+    # dimension tables: NULL join keys (dropped from equi-joins by BOTH
+    # engines), NULL group attributes, NULL measures
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/part.parquet'
+  UNION ALL SELECT 9000001, NULL, NULL, NULL, NULL, NULL
+) TO '{dst}/part.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/supplier.parquet'
+  UNION ALL SELECT 9000001, 'Supplier#9000001', NULL, NULL
+) TO '{dst}/supplier.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/nation.parquet'
+  UNION ALL SELECT 90, 'NULLLAND', NULL
+) TO '{dst}/nation.parquet' (FORMAT PARQUET)
+""")
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{src}/region.parquet'
+  UNION ALL SELECT 90, NULL
+) TO '{dst}/region.parquet' (FORMAT PARQUET)
 """)
     evs = con.execute(
         f"SELECT count(*), count(ts) FROM '{dst}/events.parquet'"
