@@ -26,21 +26,38 @@ def compare(name, spark_df, duck_df) -> list[str]:
         return problems
     import pandas as pd
 
+    # NaN→NULL canonicalization applies only where NaN cannot be a genuine
+    # value: columns whose SPARK type is non-float (e.g. a nullable
+    # BOOLEAN like q_text_normalize's `changed`, which DuckDB's df()
+    # renders as object with NaN for NULL). A float-typed column keeps its
+    # NaNs distinct from None (ADVICE r9).
+    from pyspark.sql import types as T
+
+    float_typed = {
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+
     def canon(df):
         df = df.copy()
         for c in df.columns:
             if df[c].dtype == object:
                 # SQL NULL arrives as None from Spark's toPandas but as
-                # float NaN from DuckDB's df() in object columns (e.g. a
-                # nullable BOOLEAN like q_text_normalize's `changed`);
+                # float NaN from DuckDB's df() in object columns;
                 # astype(str) would split them into 'None' vs 'nan'.
-                # Canonicalize both to one sentinel — only visible on
-                # NULL-bearing AUDIT corpora (gate corpora carry no NULLs,
-                # so this changes nothing the driver's own hash would see).
+                # Canonicalize to a non-string sentinel — the (0,""),
+                # (1,str) tuple encoding sorts and compares cleanly and
+                # cannot collide with a literal string value (a real
+                # "<NULL>" string maps to (1,"<NULL>"), ADVICE r9). Only
+                # visible on NULL-bearing AUDIT corpora (gate corpora
+                # carry no NULLs, so this changes nothing the driver's
+                # own hash would see).
+                nan_is_null = c not in float_typed
                 df[c] = df[c].map(
-                    lambda v: "<NULL>"
-                    if v is None or (isinstance(v, float) and v != v)
-                    else str(v)
+                    lambda v, _n=nan_is_null: (0, "")
+                    if v is None or (_n and isinstance(v, float) and v != v)
+                    else (1, str(v))
                 )
         return df.sort_values(by=list(df.columns), ignore_index=True)
 
