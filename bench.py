@@ -77,6 +77,14 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    # Machine state AT DRAW START (VERDICT r9 item 4): same-code draws
+    # span 58-87 s and the r9 settle study showed they are
+    # uninterpretable without the 15-minute load average (the draw
+    # protocol's idle criterion, BASELINE.md) — record it inside the
+    # artifact so every BENCH_r{N}.json is self-describing instead of
+    # relying on SCALE.md prose about the machine at capture time.
+    load_1m, load_5m, load_15m = (round(x, 2) for x in os.getloadavg())
+
     spark = build_session(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -141,6 +149,14 @@ def main() -> None:
         # micro-batches (cross-batch state commits included)
         "stream_drain_micro_batches": drain_batches,
         "stream_interval_pairs_query_seconds": ip_query_s,
+        # draw-start machine state + the pass policy the numbers were
+        # taken under — the band argument (58-87 s on identical code)
+        # cites data in the artifact itself
+        "load_1m": load_1m,
+        "load_5m": load_5m,
+        "load_15m": load_15m,
+        "load_15m_end": round(os.getloadavg()[2], 2),
+        "pass_policy": f"min-over-{n_passes}",
     }
     # round 1+2's full stdout line got head-truncated in the driver's
     # tail capture ("parsed": null) — persist the JSON to a file, AND
@@ -180,6 +196,11 @@ def main() -> None:
         "sf": sf,
         "stream_drain_micro_batches": drain_batches,
         "stream_interval_pairs_query_seconds": ip_query_s,
+        "load_1m": load_1m,
+        "load_5m": load_5m,
+        "load_15m": load_15m,
+        "load_15m_end": out["load_15m_end"],
+        "pass_policy": out["pass_policy"],
     }
     # compact line BOTH sides of the full record: whichever end of stdout
     # the driver's capture keeps, a complete parseable line survives; the

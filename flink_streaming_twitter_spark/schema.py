@@ -7,6 +7,11 @@ The reference's input record is ``Tweet{text, timestamp_ms, lang}``
 Parsing is loss-tolerant: unknown properties ignored (Tweet.java:10),
 malformed JSON → null record (Main.java:209-218). ``from_json`` in its
 default PERMISSIVE mode reproduces both behaviors.
+
+Citation note (ADVICE r9): the reference has no literal ``Main.java`` —
+per SURVEY.md §1, ``Main.java`` throughout this repo abbreviates its
+main class file, ``PrcoessTweetFromKafkaAndWriteToInfluxDatabase.java``
+(the filename's typo is the reference's own).
 """
 
 from __future__ import annotations

@@ -12,6 +12,11 @@ Delivery semantics: at-least-once, matching the reference (no
 checkpoint-coordinated transactional sink there either — Main.java:50-55
 has checkpointing commented out).
 
+Citation note (ADVICE r9): ``Main.java`` here and in the mapper
+docstrings below abbreviates the reference's
+``PrcoessTweetFromKafkaAndWriteToInfluxDatabase.java`` (its actual main
+class file, typo included), per the convention SURVEY.md §1 documents.
+
 UPGRADE NOTE (typed fields, round 8): releases before the typed-struct
 fields shipped counts as quoted strings (``count="5"``), which made
 InfluxDB type the field as STRING at first write. InfluxDB field types

@@ -16,10 +16,14 @@ from check_oracle import compare  # noqa: E402
 
 
 class FakeSparkDF:
-    """Just enough surface for compare(): .columns and .toPandas()."""
+    """Just enough surface for compare(): .columns and .toPandas(), plus an
+    optional .schema (compare() reads it to find float-TYPED columns; when
+    absent it falls back to treating every object-column NaN as NULL)."""
 
-    def __init__(self, pdf: pd.DataFrame):
+    def __init__(self, pdf: pd.DataFrame, schema=None):
         self._pdf = pdf
+        if schema is not None:
+            self.schema = schema
 
     @property
     def columns(self):
@@ -92,3 +96,33 @@ def test_sql_null_renderings_canonicalize_but_null_vs_value_still_fails():
     s2 = _spark(k=[1], v=["None"])
     d2 = pd.DataFrame({"k": [1], "v": [None]})
     assert any("mismatches" in p for p in compare("q", s2, d2))
+
+
+def test_null_sentinel_is_not_a_string():
+    """ADVICE r9: the old canon used the literal string '<NULL>' as the
+    NULL sentinel, so a query actually RETURNING that string compared
+    equal to SQL NULL. The tuple encoding cannot collide: a real
+    '<NULL>' value on one side vs NULL on the other must mismatch."""
+    s = _spark(k=[1], v=["<NULL>"])
+    d = pd.DataFrame({"k": [1], "v": [None]})
+    assert any("mismatches" in p for p in compare("q", s, d))
+
+
+def test_nan_in_float_typed_column_is_a_value_not_null():
+    """ADVICE r9's second half: NaN→NULL canonicalization is restricted
+    to columns whose SPARK type is non-float. In a float-TYPED column a
+    genuine NaN value versus SQL NULL on the other side must stay a
+    mismatch (the schema-less fallback above cannot make this
+    distinction; real driver runs always have the schema)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    # object dtype on both sides forces the canon path compare() guards
+    s = FakeSparkDF(
+        pd.DataFrame({"k": [1], "v": pd.array([float("nan")], dtype=object)}),
+        schema=schema,
+    )
+    d = pd.DataFrame({"k": [1], "v": pd.array([None], dtype=object)})
+    assert any("mismatches" in p for p in compare("q", s, d))

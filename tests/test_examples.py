@@ -28,6 +28,13 @@ def test_corpus_prep_app_end_to_end(spark, sf_dir):
         rows = profile.collect()
         assert len(rows) > 0
         assert corpus.count() > 0
+        # the stage-3 cap-loss ledger ships as a run artifact (VERDICT r9
+        # item 5): readable, right shape, and empty here — the default
+        # cap never binds at sf0.001 occupancies, so any row would mean
+        # silently lost pairs
+        ledger = spark.read.parquet(f"{out}/metrics/dedup_cap_loss")
+        assert set(ledger.columns) == {"band", "sig", "occupancy"}
+        assert ledger.count() == 0
         # the profile is the corpus's own aggregate
         assert sum(r.n_docs for r in rows) == corpus.count()
         assert {r.split for r in rows} <= {"train", "val", "test"}

@@ -33,11 +33,16 @@ def compare(name, spark_df, duck_df) -> list[str]:
     # NaNs distinct from None (ADVICE r9).
     from pyspark.sql import types as T
 
-    float_typed = {
-        f.name
-        for f in spark_df.schema.fields
-        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
-    }
+    spark_schema = getattr(spark_df, "schema", None)  # harness fakes may omit it
+    float_typed = (
+        {
+            f.name
+            for f in spark_schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+        if spark_schema is not None
+        else set()
+    )
 
     def canon(df):
         df = df.copy()
