@@ -175,6 +175,15 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
+        # the anchor must be a real ancestor — a typo'd/rebased anchor
+        # would silently diff against nothing and vacuously pass
+        assert (
+            subprocess.run(
+                ["git", "merge-base", "--is-ancestor", ROUND10_ANCHOR, "HEAD"],
+                cwd=repo, capture_output=True,
+            ).returncode
+            == 0
+        ), f"ROUND10_ANCHOR {ROUND10_ANCHOR} is not an ancestor of HEAD"
         changed_files = subprocess.run(
             ["git", "diff", "--name-only", ROUND10_ANCHOR, "--",
              "flink_streaming_twitter_spark"],
@@ -215,6 +224,7 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
     exempt = {name for name, _reason in ROUND10_TAIL_EXEMPTIONS}
     assert all(reason.strip() for _name, reason in ROUND10_TAIL_EXEMPTIONS)
     assert not (exempt & set(ROUND10_WINDOW)), "an entry can't be both exempt and in-window"
+    assert exempt <= set(entry_mod.queries()), "exemptions must name real queries() entries"
     unaccounted = affected - window - exempt
     assert not unaccounted, (
         f"entries affected by this round's semantic diff but neither "
