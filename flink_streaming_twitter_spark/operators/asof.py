@@ -46,6 +46,21 @@ def asof_join_backward(
     naive carry on the bare value column conflated the two: a NULL
     right value was indistinguishable from a left row and the join
     resurrected the older non-null reading.)
+
+    NULL-TIME contract (round 10, caught by the gate-SF NULL-corpus
+    audit): a row with a NULL timestamp takes part in NO as-of
+    relation, on either side. A left row with unknown time has no
+    well-defined "prior" — it is kept and yields the no-match NULL
+    (pinned by EXPLICIT ``asc_nulls_first`` ordering, not the engine
+    default: such rows sort before every observation, so the
+    ``..-1`` frame is empty). A right row with unknown time can never
+    be "the latest prior reading" — it is filtered before the union
+    (without the filter it would sort first and be carried onto every
+    left row with no real prior observation). SQL inequality semantics
+    agree (NULL > x is never true), but DuckDB's sort-based native
+    ASOF treats a NULL PROBE key as +inf and matches it to the LATEST
+    observation — so the oracle must route undated probes around its
+    ASOF operator; see the q_asof_last_error oracle.
     """
     # marker orders right rows relative to left rows at equal timestamps:
     # strict → right sorts AFTER left (excluded by the ..-1 frame);
@@ -60,7 +75,7 @@ def asof_join_backward(
         F.lit(None).cast(f"struct<v:{vtype.simpleString()}>").alias("_vs"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
     )
-    rhs = right.select(
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(right_marker).alias("_m"),
@@ -71,7 +86,11 @@ def asof_join_backward(
     unioned = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ts").asc(), F.col("_m").asc(), F.col("_v").asc_nulls_first())
+        .orderBy(
+            F.col("_ts").asc_nulls_first(),
+            F.col("_m").asc(),
+            F.col("_v").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = unioned.withColumn("_carry", F.last("_vs", ignorenulls=True).over(w))

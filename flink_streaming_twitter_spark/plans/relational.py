@@ -17,7 +17,9 @@ EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: the timestamp of that user's most recent STRICTLY prior
-    'error' event (-1 if none) — the point-in-time feature-join shape."""
+    'error' event (-1 if none) — the point-in-time feature-join shape.
+    Undated rows follow the operator's NULL-time contract: an undated
+    event yields -1, an undated error is never an observation."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_s", F.col("ts").cast("double")
     )
@@ -173,14 +175,30 @@ _PIVOT_COLS = ",\n       ".join(
 )
 
 RELATIONAL_ORACLES = {
-    # independent algorithm: DuckDB's native ASOF JOIN (strict backward)
+    # independent algorithm: DuckDB's native ASOF JOIN (strict backward).
+    # NULL-time contract (operators/asof.py): undated rows join nothing
+    # on either side. SQL inequality semantics give that for free EXCEPT
+    # inside DuckDB's sort-based ASOF operator, which treats a NULL
+    # probe key as +inf and matches it to the user's LATEST error
+    # (caught by the round-10 gate-SF NULL-corpus audit: one undated
+    # click by a user with error history drew the last error instead of
+    # the no-match -1) — so undated probes route AROUND the ASOF join
+    # and undated observations are filtered out of the build side.
     "q_asof_last_error": """
 WITH ev AS (SELECT event_id, user_id, epoch(ts) AS ts_s FROM events),
-err AS (SELECT user_id, epoch(ts) AS err_ts FROM events WHERE event_type = 'error')
-SELECT ev.event_id, ev.user_id,
-       CAST(floor(ev.ts_s) AS BIGINT) AS ts_sec,
+err AS (SELECT user_id, epoch(ts) AS err_ts FROM events
+        WHERE event_type = 'error' AND ts IS NOT NULL),
+dated AS (SELECT * FROM ev WHERE ts_s IS NOT NULL)
+SELECT dated.event_id, dated.user_id,
+       CAST(floor(dated.ts_s) AS BIGINT) AS ts_sec,
        CAST(coalesce(floor(err.err_ts), -1) AS BIGINT) AS last_error_sec
-FROM ev ASOF LEFT JOIN err ON ev.user_id = err.user_id AND ev.ts_s > err.err_ts
+FROM dated ASOF LEFT JOIN err
+  ON dated.user_id = err.user_id AND dated.ts_s > err.err_ts
+UNION ALL
+SELECT event_id, user_id,
+       CAST(floor(ts_s) AS BIGINT) AS ts_sec,
+       CAST(-1 AS BIGINT) AS last_error_sec
+FROM ev WHERE ts_s IS NULL
 """,
     "q_rollup_counts": """
 SELECT coalesce(event_type, 'ALL') AS event_type,

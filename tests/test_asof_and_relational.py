@@ -29,6 +29,36 @@ def test_strict_backward_excludes_equal_timestamps(spark):
     assert out == {"l0": None, "l1": 150.0, "l2": 100.0, "l3": None}
 
 
+def test_null_timestamps_take_part_in_no_asof_relation(spark):
+    """The NULL-time contract (round 10, caught by the gate-SF
+    NULL-corpus audit): an undated LEFT row is kept but matches nothing
+    — even when its key has abundant observation history (the case
+    where DuckDB's sort-based native ASOF would have matched the LATEST
+    observation, treating the NULL probe as +inf) — and an undated
+    RIGHT row is never an observation, even for left rows that have no
+    other prior (where the union+window formulation would otherwise
+    have sorted it first and carried it)."""
+    left = spark.createDataFrame(
+        [(1, None, "undated_probe"), (1, 5.0, "earliest"), (2, 50.0, "dated")],
+        "u long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 100.0), (1, 20.0, 200.0), (2, None, 990.0)],
+        "u long, rts double, val double",
+    )
+    out = {
+        r.tag: r.prior
+        for r in asof_join_backward(
+            left, right, ["u"], "ts", "rts", "val", out_col="prior", strict=True
+        ).collect()
+    }
+    # undated_probe: key 1 has two dated observations; still no match.
+    # earliest: predates every observation -> no match.
+    # dated (key 2): its ONLY observation is undated -> no match (the
+    # pre-fix formulation carried 990.0 here).
+    assert out == {"undated_probe": None, "earliest": None, "dated": None}
+
+
 def test_non_strict_includes_equal_timestamps(spark):
     left, right = _frames(spark)
     out = {

@@ -84,6 +84,21 @@ def _exec_fingerprint(src: str) -> str:
     return ast.dump(tree, include_attributes=False)
 
 
+def test_exec_fingerprint_ignores_docs_but_not_code():
+    """The rotation rule's doc-only exclusion rests on this fingerprint:
+    comment/docstring/formatting edits must not trip the changed-module
+    check (they are gate-invisible), while ANY executable change must."""
+    base = "def f(x):\n    '''doc v1'''\n    return x + 1  # note\n"
+    doc_edit = "def f(x):\n    '''doc v2, reworded'''\n    # new comment\n    return x + 1\n"
+    code_edit = "def f(x):\n    '''doc v1'''\n    return x + 2  # note\n"
+    docstring_only_module = '"""module doc"""\n'
+    assert _exec_fingerprint(base) == _exec_fingerprint(doc_edit)
+    assert _exec_fingerprint(base) != _exec_fingerprint(code_edit)
+    # a module whose body is ONLY a docstring must not crash (body
+    # becomes a bare pass) and must equal any other doc-only module
+    assert _exec_fingerprint(docstring_only_module) == _exec_fingerprint('"""other"""\n')
+
+
 def _package_import_closure() -> dict[str, set[str]]:
     """module-file -> transitively imported package module-files (paths
     relative to the repo root), by AST over every .py in the package —

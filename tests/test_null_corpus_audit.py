@@ -22,6 +22,10 @@ representative per windowed-oracle family:
 - `q_text_normalize` (the None-vs-NaN NULL-rendering split the harness
   canon now absorbs — and with it the non-string sentinel path);
 - `dedup_exact` (NULL texts must not form one giant duplicate cluster);
+- `q_asof_last_error` (round 10's own catch: DuckDB's sort-based ASOF
+  treats a NULL probe key as +inf and matched an undated event to the
+  user's LATEST error; the corpus now keys its undated rows to a user
+  with error history so this contract binds at every SF);
 - windowed/sessionized representatives `qa_trending_two_stage`,
   `qd_counts_per_window`, `q_value_by_window`, `events_sessionize`
   (all windowed oracles pin `ts IS NOT NULL`; Spark's window() drops
@@ -58,6 +62,7 @@ AUDIT_ENTRIES = [
     "q_approx_percentiles",
     "q_text_normalize",
     "dedup_exact",
+    "q_asof_last_error",
     "qa_trending_two_stage",
     "qd_counts_per_window",
     "q_value_by_window",

@@ -5,10 +5,12 @@ gate tables don't (README "Edge-input contracts") —
 - documents: 3 NULL-text rows (failed fetches / encoder failures), with
   NULL and non-NULL lang/source so downstream group-bys see both;
 - embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable);
-- events: one row each with NULL ts (unwindowable), NULL user_id, NULL
-  event_type, and NULL value+props — the first exercises the
-  windowed-oracle ts IS NOT NULL contract, the rest are ordinary NULL
-  group keys both engines must keep identically;
+- events: one row each with NULL ts (unwindowable — keyed to a user
+  WITH error history so the as-of NULL-probe contract binds, round 10),
+  NULL user_id, NULL event_type, NULL value+props, and an undated
+  'error' row (a NULL-ts OBSERVATION the as-of join must never carry) —
+  the first exercises the windowed-oracle ts IS NOT NULL contract, the
+  rest are ordinary NULL group keys both engines must keep identically;
 - orders/lineitem/customer: NULL o_orderdate (the engine-default
   NULLS FIRST/LAST window-ordering hazard), NULL measures
   (o_totalprice, l_quantity...), NULL join/group keys (o_custkey,
@@ -71,13 +73,24 @@ COPY (
   UNION ALL SELECT 9000002, list_transform(range({dim}), x -> 0.0::FLOAT), 1
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
+    # The two NULL-ts rows are keyed to a user who HAS error history, so
+    # the as-of NULL-time contract actually binds at every source SF:
+    # round 10's gate-SF audit caught DuckDB's native ASOF matching an
+    # undated probe to the user's LATEST error (its sort treats a NULL
+    # probe key as +inf) — invisible on a corpus where the undated row's
+    # user has no errors, which is why the sf0.001 audit had missed it.
     con.execute(f"""
 COPY (
   SELECT * FROM '{src}/events.parquet'
-  UNION ALL SELECT 9000001, NULL, 42, 'click', 1.5, '{{}}'
+  UNION ALL SELECT 9000001, NULL,
+    coalesce((SELECT min(user_id) FROM '{src}/events.parquet'
+              WHERE event_type = 'error'), 42), 'click', 1.5, '{{}}'
   UNION ALL SELECT 9000002, (SELECT min(ts) FROM '{src}/events.parquet'), NULL, 'click', 2.5, '{{}}'
   UNION ALL SELECT 9000003, (SELECT min(ts) FROM '{src}/events.parquet'), 43, NULL, 3.5, '{{}}'
   UNION ALL SELECT 9000004, (SELECT min(ts) FROM '{src}/events.parquet'), 44, 'view', NULL, NULL
+  UNION ALL SELECT 9000005, NULL,
+    coalesce((SELECT min(user_id) FROM '{src}/events.parquet'
+              WHERE event_type = 'error'), 42), 'error', 4.5, '{{}}'
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
     con.execute(f"""
