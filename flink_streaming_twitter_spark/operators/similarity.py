@@ -20,19 +20,26 @@ differences live far below 1e-6).
 Hyperplane components are md5-derived rationals (m/1000 with m in
 [-1000, 1000]), so the DuckDB oracle regenerates identical planes.
 
-Unscorable-vector contract (every tier, both sides): NULL embeddings
-and all-zero vectors (norm 0 ⇒ 0/0) cannot be cosine-scored and take
+Unscorable-vector contract (every tier, both sides): NULL embeddings,
+all-zero vectors (norm 0 ⇒ 0/0), and — since round 10 — vectors with
+non-finite components (norm NaN/inf) cannot be cosine-scored and take
 part in nothing — no ``sim=NULL`` ranking rows, no spurious sign-hash
 bucket-0 neighbors (``NULL >= 0`` falls to the otherwise(0) branch on
-every plane), no zero-norm IVF centroids. Real corpora DO carry encoder
-failures as NULLs; "unknown similarity" must not surface as a neighbor.
-Each tier filters ``l2_norm > 0`` on the per-row norm it already
-carries (one predicate covers both cases: a NULL norm compares NULL),
-so the contract costs no extra array traversal. Since round 9 the
-DuckDB oracles reproduce the filter (the ``scorable`` CTE in
-plans/similarity.py), so operator/oracle parity holds by construction
-on NULL-bearing corpora — verified by the round-9 full-suite audit on
-an augmented corpus — and the contract is pinned by
+every plane), no zero-norm IVF centroids, and no NaN-normed garbage
+ranking FIRST in every similarity list (both engines order NaN above
+every real cosine, so before round 10 a single NaN-component encoder
+glitch would have topped every query's neighbors — parity held, by
+shared convention, but the answers were garbage). Real corpora DO
+carry encoder failures as NULLs and float glitches as NaN/inf;
+"unknown similarity" must not surface as a neighbor. Each tier filters
+``finite_or_null(l2_norm) > 0`` on the per-row norm it already carries
+(one predicate covers all four cases: NULL and nullified non-finite
+norms compare NULL), so the contract costs no extra array traversal.
+The DuckDB oracles reproduce the filter (the ``scorable`` CTE in
+plans/similarity.py — round 9 for NULL/zero, round 10 for finiteness),
+so operator/oracle parity holds by construction on NULL- and
+non-finite-bearing corpora — verified by the full-suite audits on the
+augmented corpora — and the contract is pinned by
 tests/test_similarity_and_multimodal.py::test_unscorable_vectors_excluded_from_all_ann_tiers
 plus test_embedding_cosine_dedup_survives_unscorable_vectors for the
 embedding-dedup modality.
@@ -51,6 +58,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import finite_or_null
 from ..functions.vectors import dot_product, l2_norm
 
 ROUND_DECIMALS = 6
@@ -93,12 +101,12 @@ def brute_force_topk(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-    ).filter(F.col("q_norm") > 0)
+    ).filter(finite_or_null(F.col("q_norm")) > 0)
     # norms once per row (not per pair) — identical doubles to cosine_sim
     c = (
         corpus.select(id_col, vec_col)
         .withColumn("v_norm", l2_norm(F.col(vec_col)))
-        .filter(F.col("v_norm") > 0)
+        .filter(finite_or_null(F.col("v_norm")) > 0)
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -195,11 +203,11 @@ def ivf_assign(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-    ).filter(F.col("c_norm") > 0)
+    ).filter(finite_or_null(F.col("c_norm")) > 0)
     paired = (
         vectors.select(id_col, vec_col)
         .withColumn("v_norm", l2_norm(F.col(vec_col)))
-        .filter(F.col("v_norm") > 0)
+        .filter(finite_or_null(F.col("v_norm")) > 0)
         .crossJoin(F.broadcast(cents))
         .select(
             id_col,
@@ -366,7 +374,7 @@ def lsh_topk(
             l2_norm(F.col(vec_col)).alias("v_norm"),
             lsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
         )
-        .filter(F.col("v_norm") > 0)
+        .filter(finite_or_null(F.col("v_norm")) > 0)
     )
     q = (
         queries.select(
@@ -374,7 +382,7 @@ def lsh_topk(
             F.col(vec_col).alias("q_vec"),
             l2_norm(F.col(vec_col)).alias("q_norm"),
         )
-        .filter(F.col("q_norm") > 0)
+        .filter(finite_or_null(F.col("q_norm")) > 0)
         .select(
             "q_id",
             "q_vec",

@@ -124,7 +124,12 @@ def q_range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp falls inside it. No equi key exists, so a naive formulation
     is a nested-loop join — the bucketed decomposition makes it a plain
     shuffled equi-join on the bucket id. Purchase values summed in
-    DECIMAL (order-independent), cast to double at output."""
+    DECIMAL (order-independent), cast to double at output; non-finite
+    amounts are nullified first (functions/numeric.py contract — the
+    purchase still counts, its amount is unusable; round-10 edge-corpus
+    audit caught the oracle's decimal cast erroring on inf)."""
+    from ..functions.numeric import finite_or_null
+
     ev = load_table(spark, sf_dir, "events")
     errs = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
@@ -132,7 +137,8 @@ def q_range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS")).alias("err_end"),
     )
     purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("ts").alias("p_ts"), F.col("value").cast("decimal(18,6)").alias("p_value")
+        F.col("ts").alias("p_ts"),
+        finite_or_null(F.col("value")).cast("decimal(18,6)").alias("p_value"),
     )
     return (
         range_join(purch, errs, "p_ts", "err_start", "err_end", RANGE_WINDOW_S)
@@ -213,7 +219,10 @@ WITH err AS (
   SELECT event_id AS err_id, ts AS s, ts + INTERVAL {RANGE_WINDOW_S} SECOND AS e
   FROM events WHERE event_type = 'error'
 ), pur AS (
-  SELECT ts, CAST(value AS DECIMAL(18,6)) AS v FROM events WHERE event_type = 'purchase'
+  -- non-finite contract (functions/numeric.py): guard before the
+  -- decimal cast, which DuckDB errors on for inf
+  SELECT ts, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
 )
 SELECT err_id, count(*) AS purchase_cnt, CAST(sum(v) AS DOUBLE) AS purchase_value
 FROM pur JOIN err ON pur.ts >= err.s AND pur.ts < err.e

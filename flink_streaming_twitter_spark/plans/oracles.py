@@ -125,7 +125,11 @@ WITH slid AS (
   WHERE ts IS NOT NULL
 )
 SELECT w_start, w_start + {P.TREND_SIZE_S} AS w_end, event_type,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       -- non-finite contract (functions/numeric.py): NaN/inf readings
+       -- are no-measurements; without the guard DuckDB errors on the
+       -- decimal cast where Spark's cast nullified
+       CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM slid GROUP BY 1, 2, 3
 """
 

@@ -102,9 +102,15 @@ def q_value_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure instead of the constant 1): per-(window, event_type) sum of
     `value`. Summed in DECIMAL so partial/final aggregation order can
     never change the answer (bit-exact vs the oracle), cast to DOUBLE at
-    output — same money-arithmetic discipline as the TPC-H queries."""
+    output — same money-arithmetic discipline as the TPC-H queries.
+    Non-finite readings are nullified first (functions/numeric.py
+    contract — previously the decimal cast happened to nullify them as
+    a side effect while the oracle's identical cast CRASHED; round-10
+    edge-corpus audit)."""
+    from ..functions.numeric import finite_or_null
+
     ev = _events(spark, sf_dir).withColumn(
-        "value_d", F.col("value").cast("decimal(18,6)")
+        "value_d", finite_or_null(F.col("value")).cast("decimal(18,6)")
     )
     out = sliding_window_counts(
         ev,

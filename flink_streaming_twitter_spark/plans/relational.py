@@ -147,14 +147,22 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-moment aggregates per event type: min/max/avg/sample
     stddev+variance — the describe() family as an oracle-checked query
     (moments rounded to 6 dp; Spark and DuckDB both use the textbook
-    sample formulas, drift lives far below 1e-6)."""
-    ev = load_table(spark, sf_dir, "events")
+    sample formulas, drift lives far below 1e-6). Non-finite readings
+    are nullified before the moments (functions/numeric.py contract —
+    Spark would otherwise propagate avg=inf/stddev=NaN while DuckDB's
+    STDDEV_SAMP overflows outright; round-10 edge-corpus audit). ``n``
+    stays the ROW count: the event happened, its reading is unusable."""
+    from ..functions.numeric import finite_or_null
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", finite_or_null(F.col("value"))
+    )
     return ev.groupBy("event_type").agg(
-        F.round(F.min("value"), 6).alias("v_min"),
-        F.round(F.max("value"), 6).alias("v_max"),
-        F.round(F.avg("value"), 6).alias("v_avg"),
-        F.round(F.stddev_samp("value"), 6).alias("v_stddev"),
-        F.round(F.var_samp("value"), 6).alias("v_var"),
+        F.round(F.min("v"), 6).alias("v_min"),
+        F.round(F.max("v"), 6).alias("v_max"),
+        F.round(F.avg("v"), 6).alias("v_avg"),
+        F.round(F.stddev_samp("v"), 6).alias("v_stddev"),
+        F.round(F.var_samp("v"), 6).alias("v_var"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -248,15 +256,18 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    # non-finite contract (functions/numeric.py): the CASE twin of the
+    # Spark side's finite_or_null; count(*) keeps counting rows
     "q_value_stats": """
 SELECT event_type,
-       round(min(value), 6) AS v_min,
-       round(max(value), 6) AS v_max,
-       round(avg(value), 6) AS v_avg,
-       round(stddev_samp(value), 6) AS v_stddev,
-       round(var_samp(value), 6) AS v_var,
+       round(min(v), 6) AS v_min,
+       round(max(v), 6) AS v_max,
+       round(avg(v), 6) AS v_avg,
+       round(stddev_samp(v), 6) AS v_stddev,
+       round(var_samp(v), 6) AS v_var,
        count(*) AS n
-FROM events
+FROM (SELECT event_type, CASE WHEN isfinite(value) THEN value END AS v
+      FROM events)
 GROUP BY event_type
 """,
 }

@@ -70,11 +70,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Unscorable-vector contract (operators/similarity.py module
     # docstring) applies to this fourth dedup modality too: filter on
-    # the carried norm BEFORE the self-join — a NULL norm compares NULL,
-    # so one predicate drops both NULL embeddings and zero vectors.
+    # the carried norm BEFORE the self-join — NULL and nullified
+    # non-finite norms compare NULL, so one predicate drops NULL
+    # embeddings, zero vectors, and NaN/inf-component vectors alike.
     # Without it one encoder-failure row crashes the whole pass under
     # ANSI mode (0/0 → DIVIDE_BY_ZERO; caught by the round-9 NULL-corpus
-    # oracle audit — the ANN tiers filtered, this entry didn't).
+    # oracle audit — the ANN tiers filtered, this entry didn't) and one
+    # float glitch floods the pair stream with NaN ≥ threshold rows.
+    from ..functions.numeric import finite_or_null
+
     b = (
         emb.select(
             "vec_id",
@@ -82,7 +86,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.col("embedding")).alias("norm"),
             lsh_bucket(F.col("embedding"), P.LSH_NUM_PLANES, EMB_DIM).alias("bucket"),
         )
-        .filter(F.col("norm") > 0)
+        .filter(finite_or_null(F.col("norm")) > 0)
         .persist()
     )
     x, y = b.alias("x"), b.alias("y")
@@ -111,11 +115,19 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py::l2_norm — F.aggregate over the array, JVM-side,
     no Python). Per-row norms are rounded to 6dp and summed in DECIMAL so
     the cross-row average is order-independent and engine-exact; min/max
-    need no such care (no summation)."""
+    need no such care (no summation). A non-finite norm (NaN/inf vector
+    component) is nullified like a NULL vector's (functions/numeric.py
+    contract): it contributes nothing to the moments while the row still
+    counts in n_vecs/avg_norm's denominator — previously Spark's decimal
+    cast nullified it silently while the oracle's HUGEINT sum crashed
+    (round-10 edge-corpus audit)."""
+    from ..functions.numeric import finite_or_null
     from ..functions.vectors import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    norm6 = F.round(l2_norm(F.col("embedding")), 6).cast("decimal(28,6)")
+    norm6 = F.round(finite_or_null(l2_norm(F.col("embedding"))), 6).cast(
+        "decimal(28,6)"
+    )
     return (
         emb.select("label", norm6.alias("norm"))
         .groupBy("label")
@@ -147,21 +159,29 @@ round(
 """
 
 # The ANN tiers' unscorable-vector contract (operators/similarity.py
-# module docstring): NULL and zero-norm embeddings take part on NEITHER
-# side. The oracles reproduce it with this shared prefix so parity holds
-# by construction on NULL-bearing corpora, not by NULL-ordering accident
-# (round-9 audit: rows with sim=NULL happened to rank below top-k in the
-# brute/IVF oracles, while the LSH/cosine oracles CRASHED outright —
-# DuckDB's list_inner_product rejects any vector batch containing a NULL
-# list, which is also why the IS-NOT-NULL filter sits in its own
-# MATERIALIZED CTE: it must be applied before any dot product sees the
-# batch, and an inlined filter's evaluation order is not guaranteed).
+# module docstring): NULL, zero-norm, and (round 10) non-finite
+# embeddings take part on NEITHER side. The oracles reproduce it with
+# this shared prefix so parity holds by construction on NULL- and
+# NaN/inf-bearing corpora, not by ordering accident or shared
+# convention (round-9 audit: rows with sim=NULL happened to rank below
+# top-k in the brute/IVF oracles, while the LSH/cosine oracles CRASHED
+# outright — DuckDB's list_inner_product rejects any vector batch
+# containing a NULL list, which is also why the IS-NOT-NULL filter sits
+# in its own MATERIALIZED CTE: it must be applied before any dot
+# product sees the batch, and an inlined filter's evaluation order is
+# not guaranteed. Round-10 edge audit: both engines rank NaN above
+# every real cosine, so a NaN-component vector topped every neighbor
+# list in perfect cross-engine agreement — garbage by convention; the
+# finiteness test makes such vectors unscorable instead).
 _SCORABLE = """nonnull AS MATERIALIZED (
   SELECT * FROM embeddings WHERE embedding IS NOT NULL
 ),
 scorable AS (
-  SELECT * FROM nonnull
-  WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+  SELECT * EXCLUDE (_nsq) FROM (
+    SELECT *, list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) AS _nsq
+    FROM nonnull
+  ) WHERE isfinite(_nsq) AND _nsq > 0
 )"""
 
 BRUTE_SQL = f"""
@@ -286,11 +306,20 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {EMB_NEAR_THRESHOLD}
 
 
 EMBEDDING_NORMS_SQL = """
-WITH norms AS (
+WITH raw AS (
   SELECT label,
-         CAST(round(sqrt(list_sum(list_transform(
-             CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS DECIMAL(28,6)) AS norm
+         sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x))) AS n0
   FROM embeddings
+),
+norms AS (
+  -- non-finite contract (functions/numeric.py): a NaN/inf norm is
+  -- nullified like a NULL vector's — the guard must run BEFORE the
+  -- DECIMAL cast, whose HUGEINT sum rejects NaN
+  SELECT label,
+         CAST(round(CASE WHEN isfinite(n0) THEN n0 END, 6)
+              AS DECIMAL(28,6)) AS norm
+  FROM raw
 )
 SELECT label,
        count(*) AS n_vecs,

@@ -130,6 +130,31 @@ def test_null_valued_observation_is_matched_not_skipped(spark):
     assert r.prior == 7.0
 
 
+def test_non_finite_measurements_are_no_measurements(spark):
+    """The round-10 non-finite contract (functions/numeric.py): NaN/±inf
+    readings are nullified at the measure-ingestion point, so moments
+    are computed over finite readings only while count(*) keeps counting
+    rows — without it Spark propagates (avg=inf, stddev=NaN) and the
+    DuckDB oracle crashes outright (decimal cast of NaN, STDDEV_SAMP
+    overflow on inf; round-10 edge-corpus audit)."""
+    from flink_streaming_twitter_spark.functions.numeric import finite_or_null
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0,), (3.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "value double",
+    )
+    row = df.select(finite_or_null(F.col("value")).alias("v")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_finite"),
+        F.avg("v").alias("avg"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    ).first()
+    assert row.n_rows == 6 and row.n_finite == 2
+    assert row.avg == 2.0 and row.v_min == 1.0 and row.v_max == 3.0
+
+
 def test_tie_among_right_rows_picks_greatest_value(spark):
     left = spark.createDataFrame([(1, 20.0, "x")], ["u", "ts", "tag"])
     right = spark.createDataFrame([(1, 10.0, 1.0), (1, 10.0, 2.0)], ["u", "rts", "val"])

@@ -26,6 +26,15 @@ representative per windowed-oracle family:
   treats a NULL probe key as +inf and matched an undated event to the
   user's LATEST error; the corpus now keys its undated rows to a user
   with error history so this contract binds at every SF);
+- the round-10 non-finite contract surface (functions/numeric.py —
+  NaN/±inf measurements are no-measurements): `q_value_stats`
+  (Spark propagated avg=inf/stddev=NaN, DuckDB's STDDEV overflowed),
+  `q_range_join_error_impact` and `q_value_by_window` (DuckDB errors
+  casting non-finite to DECIMAL where Spark's cast silently nullified),
+  `q_embedding_norms` (NaN norm crashed the oracle's HUGEINT sum), and
+  the ANN entries above again (a NaN-component vector topped every
+  neighbor list by the engines' shared NaN-is-largest convention —
+  now unscorable);
 - windowed/sessionized representatives `qa_trending_two_stage`,
   `qd_counts_per_window`, `q_value_by_window`, `events_sessionize`
   (all windowed oracles pin `ts IS NOT NULL`; Spark's window() drops
@@ -63,6 +72,9 @@ AUDIT_ENTRIES = [
     "q_text_normalize",
     "dedup_exact",
     "q_asof_last_error",
+    "q_value_stats",
+    "q_range_join_error_impact",
+    "q_embedding_norms",
     "qa_trending_two_stage",
     "qd_counts_per_window",
     "q_value_by_window",

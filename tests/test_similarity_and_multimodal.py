@@ -56,20 +56,33 @@ def test_unscorable_vectors_excluded_from_all_ann_tiers(spark):
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
-    bad = [(5, None), (6, [0.0, 0.0, 0.0, 0.0])]
+    # id 5: NULL, id 6: all-zero, ids 7/8 (round 10): non-finite
+    # components — a NaN norm would otherwise rank ABOVE every real
+    # cosine in BOTH engines (shared NaN-is-largest convention), i.e.
+    # one float glitch tops every neighbor list
+    bad = [
+        (5, None),
+        (6, [0.0, 0.0, 0.0, 0.0]),
+        (7, [float("nan"), 0.1, 0.1, 0.1]),
+        (8, [float("inf"), 0.1, 0.1, 0.1]),
+    ]
     emb = spark.createDataFrame(VECS + bad, schema)
     for tier, out in [
         ("brute", brute_force_topk(emb, emb, k=10)),
         ("lsh", lsh_topk(emb, emb, k=10, num_planes=8, dim=4)),
-        # seed_mod=2/rem=0 makes the zero vector (id 6) a would-be
-        # centroid — the c_norm filter must drop the cell, not crash
+        # seed_mod=2/rem=0 makes the zero vector (id 6) and the inf
+        # vector (id 8) would-be centroids — the c_norm filter must
+        # drop those cells, not crash
         ("ivf", ivf_topk(emb, emb, k=10, nprobe=2, seed_mod=2, seed_rem=0)),
     ]:
         rows = out.collect()
         assert rows, tier  # scorable pairs still flow
-        assert {r.q_id for r in rows}.isdisjoint({5, 6}), tier
-        assert {r.vec_id for r in rows}.isdisjoint({5, 6}), tier
+        assert {r.q_id for r in rows}.isdisjoint({5, 6, 7, 8}), tier
+        assert {r.vec_id for r in rows}.isdisjoint({5, 6, 7, 8}), tier
         assert all(r.sim is not None for r in rows), tier
+        import math
+
+        assert all(math.isfinite(r.sim) for r in rows), tier
     # zero-row corpus stays a clean empty result
     assert brute_force_topk(emb.filter("vec_id < 0"), emb, k=3).count() == 0
 

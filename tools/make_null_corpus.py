@@ -1,10 +1,20 @@
-"""Build the NULL-bearing oracle-audit corpus: a copy of a gate SF dir
-with the edge-input rows real 100 TB corpora contain but the synthetic
-gate tables don't (README "Edge-input contracts") —
+"""Build the edge-input oracle-audit corpus: a copy of a gate SF dir
+with the edge rows real 100 TB corpora contain but the synthetic gate
+tables don't (README "Edge-input contracts") — NULLs in every table
+(round 9), plus non-finite measurements/components and adversarial
+string literals (round 10) —
 
 - documents: 3 NULL-text rows (failed fetches / encoder failures), with
-  NULL and non-NULL lang/source so downstream group-bys see both;
-- embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable);
+  NULL and non-NULL lang/source so downstream group-bys see both, plus
+  (round 10) a literal '<NULL>' text, a quote/backslash text, and an
+  exact duplicate body under a different source/lang;
+- embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable),
+  plus (round 10) a NaN-component and an inf-component vector —
+  non-finite norms are unscorable under the extended contract;
+- events (round 10): one dated row each with value = NaN / +inf / -inf
+  — non-finite measurements are no-measurements in every value
+  aggregate (functions/numeric.py), where Spark would otherwise
+  propagate and DuckDB would crash on decimal casts / STDDEV;
 - events: one row each with NULL ts (unwindowable — keyed to a user
   WITH error history so the as-of NULL-probe contract binds, round 10),
   NULL user_id, NULL event_type, NULL value+props, and an undated
@@ -61,6 +71,17 @@ COPY (
   UNION ALL SELECT 9000001, NULL, 'en', 'web', NULL
   UNION ALL SELECT 9000002, NULL, NULL, 'web', NULL
   UNION ALL SELECT 9000003, NULL, 'de', NULL,  NULL
+  -- adversarial literals (round 10): a text equal to the comparison
+  -- harness's old string NULL sentinel (must stay a VALUE, not NULL —
+  -- pins the tuple-sentinel fix), and a quote/backslash text through
+  -- every tokenizer/normalizer/line-protocol path
+  UNION ALL SELECT 9000004, '<NULL>', 'en', 'web', 1
+  UNION ALL SELECT 9000005, 'a "quoted" \\ backslash text', 'en', 'web', 1
+  -- an exact duplicate of an existing body under a different
+  -- source/lang: every dedup modality must pair it deterministically
+  UNION ALL SELECT 9000006,
+    (SELECT text FROM '{src}/documents.parquet'
+     WHERE text IS NOT NULL ORDER BY doc_id LIMIT 1), 'de', 'mail', 1
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
     (dim,) = con.execute(
@@ -71,6 +92,14 @@ COPY (
   SELECT * FROM '{src}/embeddings.parquet'
   UNION ALL SELECT 9000001, NULL, 0
   UNION ALL SELECT 9000002, list_transform(range({dim}), x -> 0.0::FLOAT), 1
+  -- non-finite components (round 10): NaN/inf norms make a vector
+  -- unscorable like NULL/zero — without the contract both engines rank
+  -- the NaN vector ABOVE every real neighbor (shared NaN-is-largest
+  -- convention: cross-engine parity, garbage answers)
+  UNION ALL SELECT 9000003, list_transform(range({dim}),
+      x -> CASE WHEN x = 0 THEN 'NaN'::FLOAT ELSE 0.1::FLOAT END), 0
+  UNION ALL SELECT 9000004, list_transform(range({dim}),
+      x -> CASE WHEN x = 1 THEN 'Infinity'::FLOAT ELSE 0.1::FLOAT END), 1
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
     # The two NULL-ts rows are keyed to a user who HAS error history, so
@@ -91,6 +120,9 @@ COPY (
   UNION ALL SELECT 9000005, NULL,
     coalesce((SELECT min(user_id) FROM '{src}/events.parquet'
               WHERE event_type = 'error'), 42), 'error', 4.5, '{{}}'
+  UNION ALL SELECT 9000006, (SELECT min(ts) FROM '{src}/events.parquet'), 45, 'view', 'NaN'::DOUBLE, '{{}}'
+  UNION ALL SELECT 9000007, (SELECT min(ts) FROM '{src}/events.parquet'), 46, 'purchase', 'Infinity'::DOUBLE, '{{}}'
+  UNION ALL SELECT 9000008, (SELECT min(ts) FROM '{src}/events.parquet'), 47, 'click', '-Infinity'::DOUBLE, '{{}}'
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """)
     con.execute(f"""
