@@ -39,15 +39,32 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles (space-joined) from the token array.
 
     Built from ``transform`` + ``slice`` over the token array — pure
-    Catalyst expressions, no UDF. Documents shorter than k words produce a
-    single shingle of all their tokens.
+    Catalyst expressions, no UDF. Documents with 1..k-1 words produce a
+    single shingle of all their tokens; ZERO-token documents (empty/
+    whitespace-only text, or text the ASCII ``\\w`` tokenizer matches
+    nothing in — emoji-only, CJK-script) produce NO shingles (round 10,
+    caught by the Unicode edge-corpus audit: the old all-tokens rule
+    gave every contentless doc the same ``md5('')`` shingle, so they
+    all paired as mutual perfect near-dups on the Spark side, while the
+    oracle's equivalent row collapsed to ``sh = NULL`` and silently
+    dropped from its joins — disagreement by two different accidents;
+    "no tokenizable content" is now no shingle evidence on both sides,
+    the same principle as NULL text).
     """
     toks = tokens(text)
     n = F.size(toks)
-    # positions 1 .. max(1, n-k+1); slice(toks, i, k) is the shingle at i
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    # positions 1 .. max(1, n-k+1); slice(toks, i, k) is the shingle at i.
+    # The zero-token case is the ONLY one that can emit '' (tokens are
+    # \w+ runs, so any real shingle is non-empty) — array_remove drops
+    # it in one pass over the tiny shingle array, without a when()
+    # branch that would reference the (non-codegen'd, expensive)
+    # tokenizer expression a third time.
+    return F.array_remove(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+        "",
     )
 
 

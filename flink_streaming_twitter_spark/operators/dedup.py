@@ -110,11 +110,31 @@ def doc_shingle_sets(
 
     ``hash_bits``: 31 (default — MinHash's universal-hash multiplicand
     bound and the oracle-pinned width) or 60 (the exact-Jaccard deploy
-    width past the 2^31 birthday regime; see ngram_jaccard_pairs)."""
+    width past the 2^31 birthday regime; see ngram_jaccard_pairs).
+
+    No-content contract (round 10, caught by the Unicode edge-corpus
+    audit): a document with ZERO shingles — empty/whitespace-only text,
+    fewer than k tokens, or text whose characters the ``\\w`` tokenizer
+    doesn't match at all (emoji-only, CJK-script) — has no shingle
+    evidence and takes part in NO shingle-based tier, exactly like NULL
+    text. Without the filter, MinHash signed the single-``md5('')``
+    set every contentless doc used to produce, so they all paired
+    mutually at est_jaccard 1.0 ("no evidence" surfacing as "perfect
+    match"), while the DuckDB oracles' equivalent rows collapsed to
+    ``sh = NULL`` and vanished from their joins — two different
+    accidents. The filter is the CHEAP equivalent predicate
+    ``text RLIKE '\\w'`` (some word char ⟺ ≥1 token ⟺ ≥1 shingle) —
+    filtering on ``size(shs) > 0`` instead costs 2× here, because
+    Catalyst substitutes the alias when pushing the predicate below
+    the project and the whole tokenize+hash chain evaluates twice per
+    row (measured in the round-10 A/B). The exact tier still groups
+    such docs (identical normalized text IS exact evidence, and both
+    engines agree there); the SimHash tier already drops zero-token
+    docs via explode on both sides."""
     shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k, bits=hash_bits))
     return (
         _spread(docs, id_col)
-        .filter(F.col(text_col).isNotNull())
+        .filter(F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\w"))
         .select(F.col(id_col), shs.alias("shs"))
         .withColumn("sz", F.size("shs"))
     )

@@ -214,10 +214,19 @@ def _shingles_sql(bits: int = 31) -> str:
     resulting pairs, but the shingle-tier oracles would be agreeing
     with the operators by accident, not construction."""
     mod = "\n      % 2147483648" if bits == 31 else ""
+    # len(tk) > 0: the zero-token contract (round 10) — a doc whose text
+    # the \\w tokenizer matches nothing in (empty, whitespace-only,
+    # emoji/CJK-only) has no shingle evidence and takes part in no
+    # shingle tier. Before the explicit filter the two engines excluded
+    # such docs by DIFFERENT accidents (Spark paired them all via a
+    # shared md5('') shingle; DuckDB's row collapsed to sh=NULL and
+    # vanished from joins) — caught by the Unicode edge-corpus audit.
     return f"""
 toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk
-  FROM documents WHERE text IS NOT NULL
+  SELECT * FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE len(tk) > 0
 ),
 shingles AS (
   SELECT DISTINCT doc_id,

@@ -73,18 +73,22 @@ ROUND10_WINDOW: tuple[str, ...] = (
     #    already window-resident in block 1; the other three changed
     #    value-contract entries live in block 1 / the always-verified
     #    head likewise: q_value_stats, q_range_join_error_impact,
-    #    q_value_by_window.) The remaining 3 slots go stalest-green:
-    #    of the r9-window entries (all r9-green), block 1's
-    #    second-newest verdict is round 7 vs block 2's round 8, so the
-    #    first three of r9's block 1 in its registration order rotate
-    #    back in.
+    #    q_value_by_window.) The last 3 slots: the Unicode edge-corpus
+    #    audit then changed the shingle tier itself (zero-token docs
+    #    have no shingle evidence — functions/text.py::word_shingles,
+    #    operators/dedup.py::doc_shingle_sets, the oracle _shingles_sql
+    #    CTE), so the three tail entries whose RESULTS ride that tier
+    #    take them; no stalest-green slots remain this round (TPC-H
+    #    q6/q10/q13 rotate back to the tail — changed-files-first
+    #    outranks stalest-green). Closure-only affected entries (their
+    #    own paths are digest/sampling-based) carry exemptions below.
     "dedup_embedding_cosine",
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_star",
 )
 
 # Entries whose implementing-module closure changed since ROUND10_ANCHOR
@@ -96,7 +100,26 @@ ROUND10_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and ROUND10_WINDOW.
-ROUND10_TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = ()
+_CLOSURE_ONLY = (
+    "module-closure-only exposure to the round-10 zero-shingle change "
+    "(functions/text.py::word_shingles / operators/dedup.py::"
+    "doc_shingle_sets): this entry's own path is digest/sampling-based "
+    "and touches no shingle tier; its code and oracle SQL are "
+    "byte-identical this round, and it was re-verified green locally "
+    "at sf0.001/sf0.01/sf0.1 and on all three edge corpora under "
+    "final code"
+)
+ROUND10_TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
+    ("dedup_exact", _CLOSURE_ONLY),
+    ("q_corpus_pipeline", _CLOSURE_ONLY),
+    ("q_incremental_dedup", _CLOSURE_ONLY),
+    ("q_hash_split_counts", _CLOSURE_ONLY),
+    ("q_cap_per_source", _CLOSURE_ONLY),
+    ("q_cap_per_source_salted", _CLOSURE_ONLY),
+    ("q_mix_weighted", _CLOSURE_ONLY),
+    ("q_text_normalize", _CLOSURE_ONLY),
+    ("q_text_normalize_nfc", _CLOSURE_ONLY),
+)
 
 # The previous round's verdict commit — the diff anchor the contract
 # test measures "changed this round" against. Update each round when the

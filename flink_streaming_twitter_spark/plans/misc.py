@@ -64,8 +64,10 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-explode arithmetic, and the final aggregate. The real-decode
     branch stays covered by the PIL stub/real switch unit test
     (tests/test_similarity_and_multimodal.py). Oracle byte arithmetic
-    uses ascii() on 1-char substrings, exact for this ASCII corpus;
-    ascii('') = 0 mirrors the stub's zero padding."""
+    reads true payload BYTES via hex(substring(encode(text),B,1))
+    (round 10 — the earlier ascii()-on-substr form read code points,
+    which diverges from a byte-reading decoder on any non-ASCII text);
+    a missing byte is 0, mirroring the stub's zero padding."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -191,19 +193,40 @@ FROM documents
 """
 
 
-# Stub-decode twin: width/height from payload bytes 1-2 (0 when absent,
+# Stub-decode twin: width/height from payload BYTES 1-2 (0 when absent,
 # like the stub's ljust(8, b"\0")), n_frames from byte length, frames
 # kept at every_n=4 = ceil(n_frames/4) since frame 0 is always kept.
-MULTIMODAL_DECODE_STATS_SQL = """
-WITH decoded AS (
+# True byte arithmetic (round 10): the original ascii(substr(text,n,1))
+# read CODE POINTS, which only equals the payload byte on pure-ASCII
+# text — the Unicode edge-corpus audit caught it diverging on
+# emoji/CJK documents (a decoder reads bytes; Java UTF-16 string
+# indexing is not even code points). Bytes are extracted engine-
+# portably via hex(substring(encode(text), B, 1)) and a hex→int
+# strpos lookup; NULL text stays NULL-field (the r8 degrade contract),
+# a missing byte is 0 (the stub's zero padding).
+def _oracle_payload_byte(b: int) -> str:
+    # byte B of the blob = hex-string chars 2B-1..2B (substring over a
+    # BLOB is not supported, so hex the whole payload once in the CTE)
+    return f"""CASE WHEN p IS NULL THEN NULL
+         WHEN octet_length(p) >= {b} THEN
+           (strpos('0123456789ABCDEF', substr(ph, {2 * b - 1}, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substr(ph, {2 * b}, 1)) - 1)
+         ELSE 0 END"""
+
+
+MULTIMODAL_DECODE_STATS_SQL = f"""
+WITH payload AS (
+  SELECT doc_id, encode(text) AS p, hex(encode(text)) AS ph FROM documents
+),
+decoded AS (
   SELECT
     CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
          WHEN doc_id % 3 = 1 THEN 'audio/wav'
          ELSE 'video/mp4' END AS mime,
-    1 + ascii(substr(text, 1, 1)) % 64 AS width,
-    1 + ascii(substr(text, 2, 1)) % 64 AS height,
-    1 + octet_length(encode(text)) % 16 AS n_frames
-  FROM documents
+    1 + ({_oracle_payload_byte(1)}) % 64 AS width,
+    1 + ({_oracle_payload_byte(2)}) % 64 AS height,
+    1 + octet_length(p) % 16 AS n_frames
+  FROM payload
 )
 SELECT mime,
        count(*) AS n_media,

@@ -68,6 +68,46 @@ def test_null_text_takes_no_part_in_any_dedup_tier(spark):
     assert any(r.src == 0 for r in evidence)  # real evidence still flows
 
 
+def test_zero_token_text_takes_no_part_in_any_shingle_tier(spark):
+    """Round-10 twin of the NULL-text contract (caught by the Unicode
+    edge-corpus audit): a doc whose text the ``\\w`` tokenizer matches
+    NOTHING in — empty string, whitespace-only, emoji-only, CJK script —
+    has no shingle evidence and must appear in no shingle-tier output.
+    Before the fix every such doc got the single shingle md5(''), so
+    they ALL paired mutually at est/exact Jaccard 1.0 ("no evidence" as
+    "perfect match"), while the DuckDB oracles dropped them through an
+    unrelated sh=NULL accident. The EXACT tier legitimately still
+    groups the empty and whitespace docs (identical normalized-empty
+    text), and SimHash drops zero-token docs via explode — both
+    asserted too."""
+    # 81 is spaces-only (trim() strips spaces, not tabs, in BOTH engines
+    # — so only the all-space doc normalizes to the same empty text 80
+    # has); 83 is tab-bearing whitespace, still zero-token
+    rows = DOCS + [(80, ""), (81, "   "), (82, "日本語のテキスト 中文文本"), (83, " \t ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    contentless = {80, 81, 82, 83}
+
+    for name, pairs_df in [
+        ("minhash", minhash_lsh_dedup(docs)),
+        ("ngram", ngram_jaccard_pairs(docs)),
+        ("simhash", simhash_near_pairs(docs)),
+        ("lsh_exact", lsh_verified_jaccard(docs)),
+    ]:
+        pairs = {(r.doc_a, r.doc_b) for r in pairs_df.collect()}
+        ids = {i for p in pairs for i in p}
+        assert ids.isdisjoint(contentless), name
+        assert (0, 1) in pairs, name  # real dups still found
+
+    # exact tier: '' and spaces-only NORMALIZE to the same empty text —
+    # that IS exact evidence, kept deliberately (both engines compute
+    # the same md5 of the collapsed text); the tab doc trims to a
+    # residual tab (trim strips spaces only) and stays its own group
+    groups = {r.kept_doc_id: r.dup_cnt for r in exact_dedup(docs).collect()}
+    assert groups[80] == 2  # 80 + 81 share the normalized-empty key
+    assert groups[82] == 1  # CJK text is unique content, kept alone
+    assert groups[83] == 1
+
+
 def test_dedup_oracles_agree_with_operators_on_null_bearing_corpus(spark):
     """The gate corpora carry no NULL texts, so the driver hash can never
     certify NULL handling — pin operator-vs-DuckDB agreement here on a

@@ -22,6 +22,13 @@ representative per windowed-oracle family:
 - `q_text_normalize` (the None-vs-NaN NULL-rendering split the harness
   canon now absorbs — and with it the non-string sentinel path);
 - `dedup_exact` (NULL texts must not form one giant duplicate cluster);
+- `dedup_minhash_lsh` (round 10's Unicode-audit catch: zero-token texts
+  — empty/whitespace/CJK — have no shingle evidence; before the
+  contract Spark paired them all via a shared md5('') shingle while
+  DuckDB dropped them via an sh=NULL accident — two different wrongs);
+- `multimodal_decode_stats` (the decode-stub oracle reads true UTF-8
+  payload BYTES — ascii()-on-substr read code points, diverging on the
+  corpus's emoji text);
 - `q_asof_last_error` (round 10's own catch: DuckDB's sort-based ASOF
   treats a NULL probe key as +inf and matched an undated event to the
   user's LATEST error; the corpus now keys its undated rows to a user
@@ -71,6 +78,8 @@ AUDIT_ENTRIES = [
     "q_approx_percentiles",
     "q_text_normalize",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "multimodal_decode_stats",
     "q_asof_last_error",
     "q_value_stats",
     "q_range_join_error_impact",

@@ -215,12 +215,13 @@ def test_minhash_matches_python_model(spark, texts):
     for i, t in enumerate(texts):
         toks = re.findall(r"\w+", t.lower())
         if not toks:
-            shingle_strs = [""]
-        else:
-            n = len(toks)
-            shingle_strs = [
-                " ".join(toks[j : j + 3]) for j in range(max(n - 2, 1))
-            ]
+            # zero-token contract (round 10): no shingle evidence — the
+            # doc is ABSENT from the signature table, not signed as the
+            # empty shingle (which made all contentless docs mutual
+            # perfect near-dups)
+            continue
+        n = len(toks)
+        shingle_strs = [" ".join(toks[j : j + 3]) for j in range(max(n - 2, 1))]
         hashes = {
             int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 31)
             for s in shingle_strs

@@ -6,8 +6,12 @@ string literals (round 10) —
 
 - documents: 3 NULL-text rows (failed fetches / encoder failures), with
   NULL and non-NULL lang/source so downstream group-bys see both, plus
-  (round 10) a literal '<NULL>' text, a quote/backslash text, and an
-  exact duplicate body under a different source/lang;
+  (round 10) a literal '<NULL>' text, a quote/backslash text, an exact
+  duplicate body under a different source/lang, zero-token texts
+  (empty / whitespace-only / CJK — no shingle evidence), an
+  emoji-bearing text (multi-byte UTF-8 first bytes: the decode-stub
+  oracle must read bytes, not code points), and combining-accent text
+  (NFC-normalize twin);
 - embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable),
   plus (round 10) a NaN-component and an inf-component vector —
   non-finite norms are unscorable under the extended contract;
@@ -82,6 +86,20 @@ COPY (
   UNION ALL SELECT 9000006,
     (SELECT text FROM '{src}/documents.parquet'
      WHERE text IS NOT NULL ORDER BY doc_id LIMIT 1), 'de', 'mail', 1
+  -- zero-token texts (round 10, Unicode audit): empty, whitespace-only,
+  -- and \\w-tokenless scripts have NO shingle evidence — before the
+  -- contract Spark paired them all via a shared md5('') shingle while
+  -- DuckDB dropped them via an sh=NULL accident; the exact tier still
+  -- legitimately groups the first two (identical normalized-empty text)
+  UNION ALL SELECT 9000007, '', 'en', 'web', 1
+  UNION ALL SELECT 9000008, '   ' || chr(9) || ' ', 'en', 'web', 1
+  UNION ALL SELECT 9000009, '日本語のテキスト 中文文本', 'ja', 'web', 1
+  -- non-ASCII payload bytes (round 10): the decode-stub oracle must
+  -- read true UTF-8 BYTES, not code points (emoji = 4 bytes/1 code
+  -- point; the first byte 0xF0 and ascii() diverge), and combining vs
+  -- precomposed accents exercise the NFC normalize twin
+  UNION ALL SELECT 9000010, chr(128512) || ' emoji ' || chr(128640) || ' text #tag1', 'en', 'web', 1
+  UNION ALL SELECT 9000011, 'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769), 'fr', 'web', 1
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
     (dim,) = con.execute(
