@@ -47,18 +47,18 @@ ENTRY_MODULE_HEAD = [
 ]
 
 
-def test_round10_rotation_names_fall_inside_gate_window():
+def test_rotation_names_fall_inside_gate_window():
     """The driver verifies only the FIRST 50 queries() entries, and the
     window accounting used to be hand-counted comments (ADVICE r3): pin
-    that every name the round-10 rotation plan promises to verify —
+    that every name the current rotation plan promises to verify —
     the 12 entry-module queries (incl. the 5 streaming drains) plus
-    extensions.ROUND10_WINDOW — actually lands inside the window. Adding
-    a query to any family dict can no longer silently push a promised
-    entry out of the verified window."""
-    from flink_streaming_twitter_spark.plans.extensions import ROUND10_WINDOW
+    extensions.VERIFIED_WINDOW — actually lands inside the window.
+    Adding a query to any family dict can no longer silently push a
+    promised entry out of the verified window."""
+    from flink_streaming_twitter_spark.plans.extensions import VERIFIED_WINDOW
 
     window = list(entry_mod.queries().keys())[:50]
-    promised = ENTRY_MODULE_HEAD + list(ROUND10_WINDOW)
+    promised = ENTRY_MODULE_HEAD + list(VERIFIED_WINDOW)
     assert len(promised) == 50 == len(set(promised))
     assert window == promised
 
@@ -153,27 +153,53 @@ def _package_import_closure() -> dict[str, set[str]]:
             if isinstance(node, (ast.Import, ast.ImportFrom)):
                 edges[mod].update(resolve(mod, node))
 
-    closure: dict[str, set[str]] = {}
-
-    def reach(mod: str) -> set[str]:
-        if mod in closure:
-            return closure[mod]
-        closure[mod] = {mod}  # cycle guard: provisional
-        acc = {mod}
-        for dep in edges.get(mod, ()):
-            acc |= reach(dep)
-        closure[mod] = acc
-        return acc
-
-    return {files[m]: {files[d] for d in reach(m)} for m in files}
+    closure = _transitive_closure(edges)
+    return {files[m]: {files[d] for d in closure[m]} for m in files}
 
 
-def test_round10_changed_modules_are_window_resident_or_exempt():
+def _transitive_closure(edges: dict[str, set[str]]) -> dict[str, set[str]]:
+    """Reflexive-transitive closure by ITERATION TO A FIXPOINT, not
+    memoized recursion (ADVICE r10): a recursive reach() that caches its
+    provisional {mod} set as the cycle guard under-reports closures
+    whenever an import cycle appears — in a cycle A<->B, reach(B) is
+    computed against the incomplete closure[A]={A} and gets CACHED
+    missing A's other transitive deps, so the rotation gate could
+    silently miss affected entries. The fixpoint loop is immune to
+    cycles by construction (members of a cycle converge to one shared
+    complete closure) and trivially cheap at package scale (~40 modules,
+    a handful of sweeps)."""
+    closure = {m: {m} | edges[m] for m in edges}
+    changed = True
+    while changed:
+        changed = False
+        for m in closure:
+            new = set().union(*(closure[d] for d in closure[m]))
+            if not new <= closure[m]:
+                closure[m] |= new
+                changed = True
+    return closure
+
+
+def test_import_closure_handles_cycles_completely():
+    """The fixpoint property the rotation gate rests on, pinned on a
+    synthetic cyclic graph: every member of an import cycle must carry
+    the cycle's FULL transitive closure (the memoized-recursion bug gave
+    B a cached closure missing A's other deps)."""
+    closure = _transitive_closure({"a": {"b"}, "b": {"a", "c"}, "c": set()})
+    assert closure["a"] == {"a", "b", "c"}
+    assert closure["b"] == {"a", "b", "c"}
+    assert closure["c"] == {"c"}
+    # diamond + self-loop stay exact, not just cycle-safe
+    closure = _transitive_closure({"a": {"b", "c"}, "b": {"d"}, "c": {"d"}, "d": {"d"}})
+    assert closure["a"] == {"a", "b", "c", "d"}
+
+
+def test_changed_modules_are_window_resident_or_exempt():
     """The r9 lesson (VERDICT r9 'What's wrong' #1/#2): the standing
     changed-files-first rotation rule was enforced only by prose, and a
     late-round edit (q_approx_percentiles' coalesce fix) silently shipped
     tail-resident. Now the rule is code: diff the package against
-    extensions.ROUND10_ANCHOR (the previous round's verdict commit),
+    extensions.DIFF_ANCHOR (the previous round's verdict commit),
     keep only files whose EXECUTABLE AST changed (doc-only edits are
     gate-invisible), map them to queries() entries through the
     transitive import closure of each entry's implementing module, and
@@ -183,9 +209,9 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
     import subprocess
 
     from flink_streaming_twitter_spark.plans.extensions import (
-        ROUND10_ANCHOR,
-        ROUND10_TAIL_EXEMPTIONS,
-        ROUND10_WINDOW,
+        DIFF_ANCHOR,
+        TAIL_EXEMPTIONS,
+        VERIFIED_WINDOW,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -194,13 +220,13 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
         # would silently diff against nothing and vacuously pass
         assert (
             subprocess.run(
-                ["git", "merge-base", "--is-ancestor", ROUND10_ANCHOR, "HEAD"],
+                ["git", "merge-base", "--is-ancestor", DIFF_ANCHOR, "HEAD"],
                 cwd=repo, capture_output=True,
             ).returncode
             == 0
-        ), f"ROUND10_ANCHOR {ROUND10_ANCHOR} is not an ancestor of HEAD"
+        ), f"DIFF_ANCHOR {DIFF_ANCHOR} is not an ancestor of HEAD"
         changed_files = subprocess.run(
-            ["git", "diff", "--name-only", ROUND10_ANCHOR, "--",
+            ["git", "diff", "--name-only", DIFF_ANCHOR, "--",
              "flink_streaming_twitter_spark"],
             cwd=repo, capture_output=True, text=True, check=True,
         ).stdout.split()
@@ -216,7 +242,7 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
             semantically_changed.add(rel)
             continue
         old = subprocess.run(
-            ["git", "show", f"{ROUND10_ANCHOR}:{rel}"],
+            ["git", "show", f"{DIFF_ANCHOR}:{rel}"],
             cwd=repo, capture_output=True, text=True,
         )
         if old.returncode != 0:  # new file since the anchor
@@ -235,10 +261,10 @@ def test_round10_changed_modules_are_window_resident_or_exempt():
         if semantically_changed & closure.get(root, {root}):
             affected.add(name)
 
-    window = set(ENTRY_MODULE_HEAD) | set(ROUND10_WINDOW)
-    exempt = {name for name, _reason in ROUND10_TAIL_EXEMPTIONS}
-    assert all(reason.strip() for _name, reason in ROUND10_TAIL_EXEMPTIONS)
-    assert not (exempt & set(ROUND10_WINDOW)), "an entry can't be both exempt and in-window"
+    window = set(ENTRY_MODULE_HEAD) | set(VERIFIED_WINDOW)
+    exempt = {name for name, _reason in TAIL_EXEMPTIONS}
+    assert all(reason.strip() for _name, reason in TAIL_EXEMPTIONS)
+    assert not (exempt & set(VERIFIED_WINDOW)), "an entry can't be both exempt and in-window"
     assert exempt <= set(entry_mod.queries()), "exemptions must name real queries() entries"
     unaccounted = affected - window - exempt
     assert not unaccounted, (
