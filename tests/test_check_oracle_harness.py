@@ -126,3 +126,45 @@ def test_nan_in_float_typed_column_is_a_value_not_null():
     )
     d = pd.DataFrame({"k": [1], "v": pd.array([None], dtype=object)})
     assert any("mismatches" in p for p in compare("q", s, d))
+
+
+def test_float64_null_vs_genuine_nan_detected_via_arrow_masks():
+    """ADVICE r10: in a float64 pandas column BOTH SQL NULL and genuine
+    NaN render as NaN, so the numeric path's equal_nan compare silently
+    equated a Spark NaN with a DuckDB NULL — the exact propagated-NaN
+    divergence class the non-finite audit targets. compare() now takes
+    Arrow on both sides (Spark toArrow / DuckDB fetch_arrow_table),
+    whose validity bitmaps survive the handoff, and checks per-float-
+    column null masks: NULL-vs-NaN must FAIL while matching placements
+    (and genuine NaN on both sides) still pass."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+
+    class ArrowFake(FakeSparkDF):
+        def __init__(self, tbl, schema):
+            super().__init__(tbl.to_pandas(), schema=schema)
+            self._tbl = tbl
+
+        def toArrow(self):
+            return self._tbl
+
+    nan_tbl = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "v": pa.array([float("nan"), 1.0], pa.float64())}
+    )
+    null_tbl = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "v": pa.array([None, 1.0], pa.float64())}
+    )
+    # Spark NaN value vs DuckDB SQL NULL: previously a silent pass
+    assert any(
+        "NULL-vs-NaN" in p for p in compare("q", ArrowFake(nan_tbl, schema), null_tbl)
+    )
+    # identical NULL placement on both sides: pass
+    assert compare("q", ArrowFake(null_tbl, schema), null_tbl) == []
+    # genuine NaN as a VALUE on both sides: pass (equal_nan value compare)
+    assert compare("q", ArrowFake(nan_tbl, schema), nan_tbl) == []

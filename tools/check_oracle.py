@@ -15,15 +15,23 @@ sys.path.insert(0, "/root/repo")
 
 def compare(name, spark_df, duck_df) -> list[str]:
     problems = []
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        pa = None
+    # The DuckDB side may arrive as a pyarrow Table (the real callers
+    # since round 11 — fetch_arrow_table preserves VALIDITY separately
+    # from NaN, which the float-column null-mask check below needs) or
+    # as a plain pandas frame (legacy/fake callers: masks degrade to
+    # isna, conflating NULL with NaN exactly as before).
+    duck_at = None
+    if pa is not None and isinstance(duck_df, pa.Table):
+        duck_at = duck_df
+        duck_df = duck_at.to_pandas()
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_df.columns)
     if s_cols != d_cols:
         return [f"columns differ: spark={s_cols} duck={d_cols}"]
-    sp = spark_df.toPandas()[s_cols]
-    dp = duck_df[s_cols]
-    if len(sp) != len(dp):
-        problems.append(f"row count differs: spark={len(sp)} duck={len(dp)}")
-        return problems
     import pandas as pd
 
     # NaN→NULL canonicalization applies only where NaN cannot be a genuine
@@ -43,6 +51,40 @@ def compare(name, spark_df, duck_df) -> list[str]:
         if spark_schema is not None
         else set()
     )
+    # Materialize the Spark side through Arrow when a float column is
+    # present (ADVICE r10): in a float64 pandas column BOTH SQL NULL and
+    # a genuine NaN render as NaN, so np.allclose(equal_nan=True) would
+    # silently equate a Spark NaN with a DuckDB NULL — the exact
+    # propagated-NaN divergence class the non-finite audit targets.
+    # Arrow keeps the validity bitmap separate from the values, so each
+    # float column gets a boolean null-mask AUX COLUMN that rides the
+    # row sort and is compared exactly. One job either way (toArrow and
+    # toPandas both collect once); fakes without toArrow degrade to
+    # isna masks (NULL≡NaN), same as the legacy pandas duck path.
+    spark_at = None
+    if pa is not None and float_typed and hasattr(spark_df, "toArrow"):
+        spark_at = spark_df.toArrow()
+        sp = spark_at.to_pandas()[s_cols].copy()
+    else:
+        sp = spark_df.toPandas()[s_cols].copy()
+    dp = duck_df[s_cols].copy()
+    if len(sp) != len(dp):
+        problems.append(f"row count differs: spark={len(sp)} duck={len(dp)}")
+        return problems
+    aux_cols = []
+    for c in sorted(float_typed & set(s_cols)):
+        aux = c + "\x00isnull"
+        sp[aux] = (
+            spark_at.column(c).is_null().to_pandas().to_numpy()
+            if spark_at is not None
+            else sp[c].isna().to_numpy()
+        )
+        dp[aux] = (
+            duck_at.column(c).is_null().to_pandas().to_numpy()
+            if duck_at is not None
+            else dp[c].isna().to_numpy()
+        )
+        aux_cols.append(aux)
 
     def canon(df):
         df = df.copy()
@@ -67,6 +109,14 @@ def compare(name, spark_df, duck_df) -> list[str]:
         return df.sort_values(by=list(df.columns), ignore_index=True)
 
     sp, dp = canon(sp), canon(dp)
+    for aux in aux_cols:
+        if not sp[aux].equals(dp[aux]):
+            n_bad = int((sp[aux] != dp[aux]).sum())
+            problems.append(
+                f"column {aux.split(chr(0))[0]}: {n_bad} NULL-vs-NaN "
+                "mismatches (one engine has SQL NULL where the other has "
+                "a genuine NaN value)"
+            )
     for c in s_cols:
         a, b = sp[c], dp[c]
         # driver-faithful: its exact value-hash sees int64 376 vs float64
@@ -133,7 +183,10 @@ def main():
                 n = sdf.count()
                 print(f"[rows-only] {name}: {n} rows ({time.time()-t0:.1f}s)")
                 continue
-            ddf = con.execute(osql[name]).fetchdf()
+            # fetch_arrow_table, not fetchdf: Arrow keeps the validity
+            # bitmap separate from float NaN values, which compare()
+            # needs for the per-float-column null-mask check (ADVICE r10)
+            ddf = con.execute(osql[name]).fetch_arrow_table()
             problems = compare(name, sdf, ddf)
         except Exception as e:
             import traceback
