@@ -1,13 +1,20 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all pure DataFrame compositions (no Python UDFs anywhere):
+Four tiers, all pure DataFrame compositions (the single exception: the
+char-shingle mode's OPTIONAL Unicode NFC step reuses textops' Arrow-
+batched pandas_udf — Spark has no built-in NFC — and even that belongs
+at ingest; every hash/shingle/join is JVM-side Column code):
 
 - exact: hash-groupBy on normalized text — one shuffle of (hash, id).
 - MinHash + LSH banding: near-dup candidate generation whose cost is the
   number of *colliding band buckets*, not n² — the standard web-scale
   near-dup design (Broder; see PAPERS.md). Signatures are 16 universal
   hashes over 3-word shingles; 4 bands × 4 rows ⇒ pairs with Jaccard ≥
-  ~0.5 collide in some band with high probability.
+  ~0.5 collide in some band with high probability. ``shingle_mode=
+  "char"`` switches the evidence base to character k-grams over the
+  canonical normalized text (CCNet/Gopher-style) — the tier that gives
+  non-``\\w`` scripts (CJK, emoji) near-dup evidence the ASCII word
+  tokenizer cannot (VERDICT r10 item 2).
 - n-gram Jaccard: EXACT all-pairs similarity join via prefix filtering
   (rarest-first shingle prefixes, AllPairs/PPJoin) + length filtering —
   lossless candidate pruning whose index join cost tracks near-dup
@@ -65,6 +72,61 @@ def normalized_text_key(text: F.Column) -> F.Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+# "cleaned text is non-empty", decidable on the RAW text: a character
+# survives the char_normalized_text chain iff it is neither whitespace
+# (collapsed then trimmed) nor a C0/DEL control (stripped) — NFC never
+# maps a non-whitespace/non-control character into that set. Filtering
+# on the raw column keeps the predicate out of the normalize chain, so
+# Catalyst's pushdown cannot re-evaluate the (Python-stage) NFC UDF
+# twice per row — the same double-eval trap the word tier measured 2×
+# on ``size(shs) > 0`` (see doc_shingle_sets).
+CHAR_EVIDENCE_PATTERN = r"[^\s\x00-\x1f\x7f]"
+
+
+def char_normalized_text(text: F.Column, nfc: bool = True) -> F.Column:
+    """The canonical corpus cleanup chain as one Column — IDENTICAL
+    steps and order to operators/textops.normalize_text (NFC → lower →
+    collapse ``\\s+`` to one space → strip C0/DEL controls → trim), so
+    char shingles are computed over exactly the text the corpus-prep
+    pipeline persists. ``nfc=False`` drops the Arrow-batched Python NFC
+    stage for pre-normalized input — the deploy shape: run NFC once at
+    ingest (q_text_normalize_nfc), feed the persisted norm_text here."""
+    from .textops import nfc_udf
+
+    base = nfc_udf()(text) if nfc else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(base), "\\s+", " "),
+            "[\\x00-\\x1f\\x7f]",
+            "",
+        )
+    )
+
+
+def char_shingle_hashes(norm_text: F.Column, k: int = 5, bits: int = 31) -> F.Column:
+    """md5-derived hash per character k-gram of an (already normalized)
+    text column, as one row-wise array — the char twin of
+    functions.text.word_shingle_hashes, same hash family so the DuckDB
+    oracles reproduce it bit-for-bit. Texts shorter than k produce one
+    shingle (the whole string); the EMPTY string would produce the
+    md5('') evidence-from-nothing shingle, which is why callers must
+    pre-filter (CHAR_EVIDENCE_PATTERN) — enforced in doc_shingle_sets.
+    Both Spark's substr and DuckDB's substr count CODE POINTS, so the
+    two engines slice multi-byte scripts identically (the byte-vs-code-
+    point trap lives in binary decoders, not string slicing —
+    plans/misc.py round 10)."""
+    from ..functions.hashing import md5_int31, md5_int60
+
+    if bits not in (31, 60):
+        raise ValueError(f"bits must be 31 or 60, got {bits}")
+    hash_fn = md5_int31 if bits == 31 else md5_int60
+    n = F.length(norm_text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: hash_fn(norm_text.substr(i, F.lit(k))),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One surviving row per distinct normalized text: (kept_doc_id = min
     id, dup_cnt). Shuffle carries only (128-bit key, id) pairs; partial
@@ -93,6 +155,8 @@ def doc_shingle_sets(
     text_col: str = "text",
     k: int = 3,
     hash_bits: int = 31,
+    shingle_mode: str = "word",
+    nfc: bool = True,
 ) -> DataFrame:
     """(doc_id, shs ARRAY<LONG>, sz) — each document's DISTINCT shingle-hash
     set as a packed array, computed entirely ROW-WISE
@@ -130,12 +194,47 @@ def doc_shingle_sets(
     row (measured in the round-10 A/B). The exact tier still groups
     such docs (identical normalized text IS exact evidence, and both
     engines agree there); the SimHash tier already drops zero-token
-    docs via explode on both sides."""
-    shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k, bits=hash_bits))
+    docs via explode on both sides. The word-mode predicate runs on the
+    LOWERED text (ADVICE r10): tokens() extracts ``\\w+`` from
+    lower(text), and a few characters acquire their ASCII word char
+    only under lowercasing (U+212A KELVIN SIGN → 'k', U+0130 → 'i' +
+    combining dot) — filtering the raw text would drop such docs from
+    every shingle tier while the oracle's ``len(tk) > 0`` (over
+    lower(text)) kept and paired them.
+
+    ``shingle_mode="char"`` (round 11, VERDICT r10 item 2): evidence =
+    character k-grams over the canonical normalized text
+    (char_normalized_text — NFC → lower → whitespace/control cleanup),
+    the CCNet/Gopher-style fallback that gives non-``\\w`` scripts
+    (CJK, emoji) near-dup evidence word shingles cannot. Its
+    no-evidence predicate is CHAR_EVIDENCE_PATTERN on the raw text
+    (⟺ cleaned text non-empty — see its comment for why not
+    ``length > 0`` on the cleaned column); whitespace-only,
+    control-only, and empty texts take part in no tier, same contract
+    as word mode. ``nfc=False`` skips the Python NFC stage for
+    pre-normalized input (the ingest-once deploy shape)."""
+    if shingle_mode == "word":
+        shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k, bits=hash_bits))
+        keep = F.col(text_col).isNotNull() & F.lower(F.col(text_col)).rlike(r"\w")
+        base = _spread(docs, id_col).filter(keep)
+    elif shingle_mode == "char":
+        keep = F.col(text_col).isNotNull() & F.col(text_col).rlike(CHAR_EVIDENCE_PATTERN)
+        # materialize the normalized text as its own projected column:
+        # Spark cannot evaluate a Python UDF inside a higher-order-
+        # function lambda (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_
+        # PYTHON_UDF), and the split also guarantees the NFC stage runs
+        # ONCE per row instead of once per reference in the shingle
+        # expression (the sequence bound and the lambda both read it)
+        base = (
+            _spread(docs, id_col)
+            .filter(keep)
+            .select(F.col(id_col), char_normalized_text(F.col(text_col), nfc=nfc).alias("_nt"))
+        )
+        shs = F.array_distinct(char_shingle_hashes(F.col("_nt"), k, bits=hash_bits))
+    else:
+        raise ValueError(f"shingle_mode must be 'word' or 'char', got {shingle_mode!r}")
     return (
-        _spread(docs, id_col)
-        .filter(F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\w"))
-        .select(F.col(id_col), shs.alias("shs"))
+        base.select(F.col(id_col), shs.alias("shs"))
         .withColumn("sz", F.size("shs"))
     )
 
@@ -260,18 +359,24 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
     accounting: bool = False,
+    shingle_mode: str = "word",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs with estimated Jaccard (fraction of equal
     minhashes) ≥ threshold: (doc_a, doc_b, est_jaccard).
 
     ``accounting=True`` additionally returns the dropped-bucket ledger —
     see lsh_candidate_pairs; deploy callers get cap-loss visibility
-    without a second manual ``oversized_buckets`` call."""
+    without a second manual ``oversized_buckets`` call.
+    ``shingle_mode="char"``: the multilingual evidence base (character
+    k-grams over normalized text — doc_shingle_sets); banding, capping,
+    and the estimated-Jaccard filter are identical."""
     # Row-wise signatures have no aggregation exchange for ReuseExchange to
     # share across the self-join's two sides, so persist the (1 row/doc,
     # ~100 B) signature table instead of recomputing the tokenize+hash
     # lineage twice (measured 3.5x on the banded join).
-    sigs = minhash_signatures(doc_shingle_sets(docs, k=shingle_k), num_perm).persist()
+    sigs = minhash_signatures(
+        doc_shingle_sets(docs, k=shingle_k, shingle_mode=shingle_mode), num_perm
+    ).persist()
     # Carry the packed signature array through the band self-join so the
     # estimated Jaccard needs NO extra signature joins.
     banded = banded_signatures(sigs, num_perm, bands, carry=("mhs",))
@@ -308,6 +413,7 @@ def lsh_verified_jaccard(
     shingle_k: int = 3,
     max_bucket: int | None = DEFAULT_LSH_MAX_BUCKET,
     accounting: bool = False,
+    shingle_mode: str = "word",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """The two-tier 100 TB near-dup pipeline: MinHash-LSH candidate
     generation (cost ∝ band-bucket occupancy) followed by EXACT Jaccard
@@ -335,8 +441,11 @@ def lsh_verified_jaccard(
     identical data, at a MEASURED 99.85% recall (25,562 of a
     construction-pinned 25,600 true pairs — SCALE.md ×100 table).
     Precision is exact either way; deploy this form at scale.
+    (``shingle_mode="char"`` switches candidate generation AND exact
+    verification to the char-k-gram evidence base — the multilingual
+    deploy twin.)
     """
-    sets = doc_shingle_sets(docs, k=shingle_k).persist()
+    sets = doc_shingle_sets(docs, k=shingle_k, shingle_mode=shingle_mode).persist()
     sigs = minhash_signatures(sets, num_perm)
     cands, dropped = lsh_candidate_pairs(
         sigs, num_perm, bands, max_bucket=max_bucket, accounting=True

@@ -35,6 +35,17 @@ from ..operators import dedup as D
 from ..sources.files import load_table
 from . import params as P
 
+# Character-shingle width for the multilingual near-dup tier
+# (dedup_minhash_lsh_char): 5-char grams over NFC-normalized text, the
+# CCNet/Gopher-style fallback that gives non-\w scripts (CJK, emoji)
+# near-dup evidence the ASCII word tokenizer cannot (VERDICT r10
+# item 2). Declared here rather than in plans/params.py for the same
+# no-drift reason params.py exists — its ONLY consumers are this
+# module's entry and oracle generator, so the single shared constant
+# lives next to both (params.py sits in every family's import closure,
+# so a constant used by one family doesn't belong there).
+CHAR_SHINGLE_K = 5
+
 # ---------------------------------------------------------------- queries
 
 
@@ -69,6 +80,29 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_threshold=P.MINHASH_EST_THRESHOLD,
         shingle_k=P.SHINGLE_K,
         max_bucket=P.LSH_CAP_BINDING,
+    )
+
+
+def dedup_minhash_lsh_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHAR-shingle params variant of dedup_minhash_lsh (round 11,
+    VERDICT r10 item 2): evidence = 5-char grams over the canonical
+    NFC-normalized text instead of 3-word ``\\w`` shingles — the
+    CCNet/Gopher-style fallback that closes the zero-token hole, where
+    non-``\\w`` scripts (CJK, emoji-only) had NO near-dup evidence in
+    any shingle tier and multilingual boilerplate sailed through dedup.
+    Same signatures, banding, cap, and estimated-Jaccard filter; only
+    doc_shingle_sets' evidence base changes. Edge-corpus-bound: the
+    audit corpus carries a near-identical CJK pair (word mode: zero
+    evidence) and a combining-vs-precomposed accent pair (exact tier:
+    byte-distinct) that this entry must pair —
+    tools/make_null_corpus.py + tests/test_null_corpus_audit.py."""
+    return D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        est_threshold=P.MINHASH_EST_THRESHOLD,
+        shingle_k=CHAR_SHINGLE_K,
+        shingle_mode="char",
     )
 
 
@@ -187,6 +221,7 @@ DEDUP_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_char": dedup_minhash_lsh_char,
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_60bit": dedup_ngram_jaccard_60bit,
@@ -239,6 +274,38 @@ shingles AS (
 
 _SHINGLES = _shingles_sql(31)
 
+
+def _char_shingles_sql(bits: int = 31) -> str:
+    """Distinct (doc_id, sh) CHARACTER-k-gram hashes — the oracle twin
+    of operators/dedup.char_shingle_hashes over char_normalized_text.
+    The normalization chain is byte-identical to TEXT_NORMALIZE_NFC_SQL
+    (plans/pipeline.py): NFC → lower → collapse ``\\s+`` → strip C0/DEL
+    → trim; ``len(nt) > 0`` is the oracle-side no-evidence predicate
+    (the operator's raw-text CHAR_EVIDENCE_PATTERN is exactly
+    equivalent — a character survives the chain iff it is neither
+    whitespace nor a control, and NFC maps nothing into that set).
+    Both engines' substr counts CODE POINTS, so multi-byte scripts
+    slice identically (verified bit-for-bit on CJK/emoji/combining-
+    accent fixtures, round 11)."""
+    mod = "\n      % 2147483648" if bits == 31 else ""
+    k = CHAR_SHINGLE_K
+    return rf"""
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+              regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'),
+              '[\x00-\x1f\x7f]', '', 'g')) AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+nz AS (SELECT doc_id, nt FROM norm WHERE len(nt) > 0),
+shingles AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(substr(nt, i, {k})), 1, 15))::BIGINT{mod} AS sh
+  FROM nz, LATERAL (
+    SELECT unnest(range(1, greatest(len(nt) - {k - 1}, 1) + 1)) AS i) g
+)
+"""
+
 DEDUP_EXACT_SQL = """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_key,
        min(doc_id) AS kept_doc_id,
@@ -257,11 +324,14 @@ def _minhash_sig_sql(num_perm: int) -> str:
     return f"sigs AS (\n  SELECT doc_id,\n    {mins}\n  FROM shingles GROUP BY doc_id\n)"
 
 
-def _minhash_lsh_sql(cap: int | None = None) -> str:
+def _minhash_lsh_sql(cap: int | None = None, shingles: str | None = None) -> str:
     """``cap``: reproduce cap_bucket_size in SQL — drop (band, sig)
     buckets with more than ``cap`` members before the band self-join
     (the dedup_minhash_lsh_capped oracle). None = uncapped (the
-    deploy-default entries, where the cap is measured inert)."""
+    deploy-default entries, where the cap is measured inert).
+    ``shingles``: the evidence-base CTE chain ending in a
+    ``shingles(doc_id, sh)`` relation — defaults to the word tier
+    (_SHINGLES); the char tier passes _char_shingles_sql()."""
     n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
     rows = n // bands
     band_selects = "\n  UNION ALL\n".join(
@@ -284,7 +354,7 @@ banded_kept AS (
     join_src = "banded_kept" if cap is not None else "banded"
     eq_sum = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
     return f"""
-WITH {_SHINGLES},
+WITH {shingles if shingles is not None else _SHINGLES},
 {_minhash_sig_sql(n)},
 banded AS (
 {band_selects}
@@ -469,6 +539,7 @@ def dedup_oracles() -> dict[str, str]:
         # reproduce plain propagation's answer exactly
         "dedup_clusters_star": _clusters_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_minhash_lsh_char": _minhash_lsh_sql(shingles=_char_shingles_sql()),
         "dedup_minhash_lsh_capped": _minhash_lsh_sql(cap=P.LSH_CAP_BINDING),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(31),
         "dedup_ngram_jaccard_60bit": _ngram_jaccard_sql(60),

@@ -22,76 +22,65 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # retune the tuple, the exemptions, and the anchor — with per-round
 # history living in git, not in identifier suffixes.
 VERIFIED_WINDOW: tuple[str, ...] = (
-    # 1. the whole 31-entry r9 tail (newest driver-green: round 8, and
-    #    for the five dedup variants below their r9 changed-file
-    #    exemptions are hereby closed) — textops ×5 + q_embedding_norms,
-    #    the misc/multimodal/session/asof-range block, the non-window
-    #    relational/analytics block (including q_approx_percentiles,
-    #    the r9 changed-file straggler whose vacuous-TRUE coalesce fix
-    #    shipped without a driver verdict — VERDICT r9 "What's wrong"
-    #    #2 — and now takes it), TPC-H q1/q3/q4/q5/q12, and the five
-    #    r9-tail-exempted dedup variants (capped LSH, two-tier
-    #    LSH+exact, simhash, both n-gram Jaccard params twins). This
-    #    closes every deferred driver verdict from rounds 8-9.
-    "events_sessionize",
-    "multimodal_meta",
-    "multimodal_decode_stats",
-    "q_range_join_error_impact",
-    "text_quality",
-    "text_langid",
-    "text_token_stats",
-    "doc_fingerprint",
-    "q_asof_last_error",
-    "q_approx_distinct_users",
-    "q_value_stats",
-    "q_rollup_counts",
-    "q_user_top_orders",
-    "q_user_segments",
-    "q_pivot_daily",
-    "q_distinct_users",
-    "q_embedding_norms",
-    "q_grouping_sets_sales",
-    "q_order_rank_distribution",
-    "tpch_q1_pricing_summary",
-    "q_price_percentiles",
-    "q_approx_percentiles",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q12_late_shipments",
+    # 1. the whole 31-entry r10 tail (newest driver-green: round 9) —
+    #    the sampling/pipeline block (dedup_exact, the two pipeline
+    #    compositions, hash split/cap/mix, both normalize passes —
+    #    also discharging their r10 closure-only exemptions), the
+    #    non-window relational/analytics block, and TPC-H
+    #    q2/q6-q11/q13-q22. With round 10 having covered the other 31
+    #    and the head/changed blocks, this completes a full two-round
+    #    sweep again: every entry's newest driver verdict is r10 or
+    #    r11.
+    "dedup_exact",
+    "q_corpus_pipeline",
+    "q_incremental_dedup",
+    "q_hash_split_counts",
+    "q_cap_per_source",
+    "q_cap_per_source_salted",
+    "q_mix_weighted",
+    "q_text_normalize",
+    "q_text_normalize_nfc",
+    "top_customers",
+    "q_inactive_customers",
+    "q_cube_order_stats",
+    "q_order_deltas",
+    "q_trailing_30d_spend",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # 2. remaining 7 slots: changed-files-first. Round 11 adds the
+    #    char-shingle near-dup tier (VERDICT r10 item 2) and the
+    #    ADVICE-r10 lowered-text word prefilter, changing
+    #    operators/dedup.py + plans/dedup.py — so the NEW entry plus
+    #    the six existing dedup entries whose RESULTS ride
+    #    doc_shingle_sets take every remaining slot (dedup_exact, the
+    #    seventh member of the affected closure with a shingle-free
+    #    path, is window-resident in block 1; dedup_simhash and
+    #    dedup_clusters_star carry the two closure-grade exemptions
+    #    below). No stalest-green slots remain — changed-files-first
+    #    outranks stalest-green, and after this window the stalest
+    #    green verdict anywhere is round 10.
+    "dedup_minhash_lsh_char",
+    "dedup_minhash_lsh",
     "dedup_minhash_lsh_capped",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_60bit",
     "dedup_lsh_exact",
-    "dedup_simhash",
-    # 2. remaining 7 slots: changed-files-first, then stalest-green.
-    #    Round 10's second half extended the edge-input contracts (the
-    #    non-finite measurement/embedding class, caught by running the
-    #    oracle audit on a gate-SF corpus): plans/similarity.py and
-    #    operators/similarity.py changed semantically (scorable =
-    #    finite AND > 0, on operators AND oracles), so the four
-    #    similarity-family entries registered in that module take four
-    #    slots — the contract test derives exactly this set from the
-    #    git diff. (q_embedding_norms, the family's fifth entry, is
-    #    already window-resident in block 1; the other three changed
-    #    value-contract entries live in block 1 / the always-verified
-    #    head likewise: q_value_stats, q_range_join_error_impact,
-    #    q_value_by_window.) The last 3 slots: the Unicode edge-corpus
-    #    audit then changed the shingle tier itself (zero-token docs
-    #    have no shingle evidence — functions/text.py::word_shingles,
-    #    operators/dedup.py::doc_shingle_sets, the oracle _shingles_sql
-    #    CTE), so the three tail entries whose RESULTS ride that tier
-    #    take them; no stalest-green slots remain this round (TPC-H
-    #    q6/q10/q13 rotate back to the tail — changed-files-first
-    #    outranks stalest-green). Closure-only affected entries (their
-    #    own paths are digest/sampling-based) carry exemptions below.
-    "dedup_embedding_cosine",
-    "similarity_brute_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_clusters_star",
 )
 
 # Entries whose implementing-module closure changed since DIFF_ANCHOR
@@ -103,31 +92,32 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and VERIFIED_WINDOW.
-_CLOSURE_ONLY = (
-    "module-closure-only exposure to the round-10 zero-shingle change "
-    "(functions/text.py::word_shingles / operators/dedup.py::"
-    "doc_shingle_sets): this entry's own path is digest/sampling-based "
-    "and touches no shingle tier; its code and oracle SQL are "
-    "byte-identical this round, and it was re-verified green locally "
-    "at sf0.001/sf0.01/sf0.1 and on all three edge corpora under "
-    "final code"
-)
 TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
-    ("dedup_exact", _CLOSURE_ONLY),
-    ("q_corpus_pipeline", _CLOSURE_ONLY),
-    ("q_incremental_dedup", _CLOSURE_ONLY),
-    ("q_hash_split_counts", _CLOSURE_ONLY),
-    ("q_cap_per_source", _CLOSURE_ONLY),
-    ("q_cap_per_source_salted", _CLOSURE_ONLY),
-    ("q_mix_weighted", _CLOSURE_ONLY),
-    ("q_text_normalize", _CLOSURE_ONLY),
-    ("q_text_normalize_nfc", _CLOSURE_ONLY),
+    (
+        "dedup_simhash",
+        "closure-only exposure to the round-11 operators/dedup.py edits "
+        "(char-shingle mode, lowered-text word prefilter): its own path "
+        "— token bit-votes via simhash_fingerprints — touches no "
+        "doc_shingle_sets tier and is byte-identical this round; "
+        "driver-green r10, re-verified locally at sf0.001/0.01/0.1 and "
+        "on the edge corpus under final round-11 code",
+    ),
+    (
+        "dedup_clusters_star",
+        "rides the same word-shingle evidence as window-resident "
+        "dedup_clusters and must reproduce its labels exactly (shared "
+        "oracle SQL); the round-11 word-tier change (prefilter on "
+        "lowered text) is provably inert on the gate corpora (no "
+        "character acquires a \\w char only under lowercasing there); "
+        "driver-green r10, re-verified locally at sf0.001/0.01/0.1 and "
+        "on the edge corpus under final round-11 code",
+    ),
 )
 
 # The previous round's verdict commit — the diff anchor the contract
 # test measures "changed this round" against. Update each round when the
 # new VERDICT lands.
-DIFF_ANCHOR = "a455a0e7bb469ef7ba08986482d41adfcb24fbc9"
+DIFF_ANCHOR = "66adcb1e56199021c768aa2e1583919cdf84c92e"
 
 
 def extension_queries() -> dict[str, QueryFn]:

@@ -548,3 +548,108 @@ def test_simhash_pairs_collapse_to_cluster_representatives(spark):
     # the boilerplate family collapsed to one representative (doc 100)
     assert clusters[100] >= set(range(100, 112))
     assert 100 in kept and not (kept & set(range(101, 112)))
+
+
+def test_char_mode_pairs_cjk_twins_that_word_mode_cannot_see(spark):
+    """The char-shingle tier's reason to exist (round 11, VERDICT r10
+    item 2): near-identical CJK docs have ZERO word-tier evidence (the
+    ASCII ``\\w`` tokenizer matches nothing), so word-mode MinHash can
+    never pair them — char-5-gram MinHash must. No-evidence docs
+    (empty / whitespace-only / control-only — cleaned text empty) stay
+    out of the char tier exactly like the word tier's zero-token
+    contract."""
+    rows = DOCS + [
+        (90, "日本語のテキスト 中文文本"),
+        (91, "日本語のテキスト 中文文本也"),  # one appended char: J=0.9
+        (92, ""),
+        (93, " \t "),
+        (94, "\x01\x02"),  # control-only: cleaned text is empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from flink_streaming_twitter_spark.plans.dedup import CHAR_SHINGLE_K
+
+    char_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(
+            docs, shingle_k=CHAR_SHINGLE_K, shingle_mode="char"
+        ).collect()
+    }
+    assert (90, 91) in char_pairs
+    assert (0, 1) in char_pairs  # ASCII exact dups still pair in char mode
+    assert not [p for p in char_pairs if {92, 93, 94} & set(p)]
+
+    word_pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_dedup(docs).collect()}
+    assert (90, 91) not in word_pairs  # no word evidence exists for CJK
+
+    # the two-tier deploy composition takes the same knob: candidates
+    # AND exact verification on char evidence (J(90,91) = 9/10)
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_verified_jaccard(
+            docs, shingle_k=CHAR_SHINGLE_K, shingle_mode="char"
+        ).collect()
+    }
+    assert verified[(90, 91)] == pytest.approx(0.9)
+
+
+def test_char_mode_nfc_unifies_combining_and_precomposed_accents(spark):
+    """Byte-distinct, NFC-identical texts ("cafe" + COMBINING ACUTE vs
+    precomposed "café") are invisible to the exact tier but must carry
+    IDENTICAL char-shingle sets — est_jaccard 1.0 — because
+    char_normalized_text canonicalizes (NFC) before slicing. With
+    nfc=False the same pair's shingle sets differ (the knob exists so
+    ingest-normalized corpora can skip the Python NFC stage; feeding it
+    RAW text forfeits the unification, which this pins)."""
+    from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
+
+    combining = "café résumé"
+    precomposed = "café résumé"
+    docs = spark.createDataFrame(
+        [(0, combining), (1, precomposed)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_dedup(docs, shingle_k=5, shingle_mode="char").collect()
+    assert [(r.doc_a, r.doc_b, r.est_jaccard) for r in pairs] == [(0, 1, 1.0)]
+
+    raw_sets = {
+        r.doc_id: set(r.shs)
+        for r in doc_shingle_sets(docs, k=5, shingle_mode="char", nfc=False).collect()
+    }
+    assert raw_sets[0] != raw_sets[1]
+
+
+def test_char_mode_short_text_yields_single_whole_string_shingle(spark):
+    """Texts shorter than k produce exactly one shingle (the whole
+    cleaned string) — the char twin of the word tier's 1..k-1-token
+    rule, so short multilingual docs keep near-dup evidence instead of
+    falling out of the tier."""
+    from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
+
+    docs = spark.createDataFrame([(0, "ab"), (1, "  AB  ")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in doc_shingle_sets(docs, k=5, shingle_mode="char").collect()}
+    assert rows[0].sz == 1
+    # normalization (lower + trim) makes the two singleton sets equal
+    assert set(rows[0].shs) == set(rows[1].shs)
+
+
+def test_doc_shingle_sets_rejects_unknown_mode(spark):
+    from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
+
+    with pytest.raises(ValueError, match="shingle_mode"):
+        doc_shingle_sets(_docs(spark), shingle_mode="byte")
+
+
+def test_word_prefilter_runs_on_lowered_text_kelvin_sign(spark):
+    """ADVICE r10: the word tier's zero-token prefilter must be exactly
+    "tokens() is non-empty", and tokens() extracts ``\\w+`` from
+    LOWER(text) — U+212A KELVIN SIGN acquires its ASCII word char 'k'
+    only under lowercasing. Filtering the RAW text dropped such docs
+    from every shingle tier while the DuckDB oracle (len(tk) > 0 over
+    lower(text)) kept and paired them. The Kelvin doc must now carry
+    the SAME singleton shingle set as a plain ASCII 'k' doc."""
+    from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
+
+    docs = spark.createDataFrame([(0, "K"), (1, "k")], ["doc_id", "text"])
+    rows = {r.doc_id: set(r.shs) for r in doc_shingle_sets(docs).collect()}
+    assert set(rows) == {0, 1}, "Kelvin-sign doc must survive the prefilter"
+    assert rows[0] == rows[1]

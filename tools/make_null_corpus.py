@@ -10,8 +10,11 @@ string literals (round 10) —
   duplicate body under a different source/lang, zero-token texts
   (empty / whitespace-only / CJK — no shingle evidence), an
   emoji-bearing text (multi-byte UTF-8 first bytes: the decode-stub
-  oracle must read bytes, not code points), and combining-accent text
-  (NFC-normalize twin);
+  oracle must read bytes, not code points), combining-accent text
+  (NFC-normalize twin), plus (round 11) the char-shingle-tier binding
+  rows: a near-identical CJK pair the word tier cannot see, a
+  precomposed twin of the combining-accent doc the exact tier cannot
+  see, and a control-chars-only doc with no evidence in ANY tier;
 - embeddings: 1 NULL vector + 1 all-zero vector (cosine-unscorable),
   plus (round 10) a NaN-component and an inf-component vector —
   non-finite norms are unscorable under the extended contract;
@@ -40,7 +43,7 @@ Every queries() entry can then be driven against its DuckDB oracle on
 data where the NULL contracts actually bind:
 
     python tools/make_null_corpus.py            # sf0.001 -> /tmp/sfnull
-    python tools/check_oracle.py /tmp/sfnull    # expect 81/81 OK
+    python tools/check_oracle.py /tmp/sfnull    # expect 82/82 OK
 
 Round-9 findings from this audit (all fixed, all pinned by unit tests):
 the text-normalize comparison split on None-vs-NaN NULL rendering
@@ -100,6 +103,19 @@ COPY (
   -- precomposed accents exercise the NFC normalize twin
   UNION ALL SELECT 9000010, chr(128512) || ' emoji ' || chr(128640) || ' text #tag1', 'en', 'web', 1
   UNION ALL SELECT 9000011, 'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769), 'fr', 'web', 1
+  -- round 11: rows that BIND the char-shingle tier (dedup_minhash_lsh_char).
+  -- 9000012 is a near-identical twin of the CJK doc 9000009 (one appended
+  -- character; char-5-gram Jaccard 0.9): word mode has ZERO evidence for
+  -- either (no \\w chars), so only the char tier can pair them — the
+  -- multilingual near-dup hole VERDICT r10 item 2 closes. 9000013 is the
+  -- PRECOMPOSED twin of the combining-accent doc 9000011: byte-distinct
+  -- (invisible to the exact tier) but NFC-identical, so the char tier
+  -- pairs them at est_jaccard 1.0. 9000014 is control-chars-only: its
+  -- cleaned text is EMPTY, so it must have no char-tier evidence (the
+  -- raw-text CHAR_EVIDENCE_PATTERN prefilter ⟺ the oracle's len(nt)>0).
+  UNION ALL SELECT 9000012, '日本語のテキスト 中文文本也', 'ja', 'web', 1
+  UNION ALL SELECT 9000013, 'café résumé', 'fr', 'mail', 1
+  UNION ALL SELECT 9000014, chr(1) || chr(2), 'en', 'web', 1
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
     (dim,) = con.execute(

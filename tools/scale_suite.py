@@ -162,7 +162,8 @@ def dedup_x10(spark) -> None:
 
     qs = entry_mod.queries()
     names = (
-        "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_exact", "dedup_simhash",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_char",
+        "dedup_lsh_exact", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_clusters", "dedup_clusters_star",
         "dedup_embedding_cosine", "similarity_brute_topk", "similarity_lsh_topk",
         "similarity_ivf_topk",
@@ -274,6 +275,13 @@ def dedup_x100(spark) -> None:
          lambda d: PD.dedup_lsh_exact(spark, d), both),
         ("dedup_minhash_lsh", {"est_threshold": P.MINHASH_EST_THRESHOLD},
          lambda d: PD.dedup_minhash_lsh(spark, d), both),
+        # round 11: the char-shingle multilingual tier at both decades —
+        # same banding/cap machinery, ~4x the per-doc shingle work
+        # (row-wise, embarrassingly parallel) plus the Arrow-batched NFC
+        # stage; gate parameters unchanged by design
+        ("dedup_minhash_lsh_char", {"est_threshold": P.MINHASH_EST_THRESHOLD,
+                                    "shingle_mode": "char"},
+         lambda d: PD.dedup_minhash_lsh_char(spark, d), both),
     )
     for name, knobs, build, dirs in cells:
         row: dict = {"bench": name, **knobs}
