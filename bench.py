@@ -139,6 +139,26 @@ def main() -> None:
     )
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    # Self-labelling contention flag (VERDICT r10 "What's wrong" #1): the
+    # draw protocol's idle criterion is a DRAINED 15-minute load
+    # (BASELINE.md), and same-code totals span 58-103 s with machine
+    # state the dominant factor — so the artifact itself says whether
+    # its own criterion held, instead of relying on a reader to join
+    # the load fields against the protocol prose. Threshold 1.5: the
+    # documented settle gradient put quiet draws at 15-min load <= ~1.1
+    # and the flagged r10 contended draw at 4.3->5.8. The draw is still
+    # RECORDED either way (the driver's capture is not ours to refuse)
+    # — it just carries its own caveat, plus a stderr warning.
+    load_15m_end = round(os.getloadavg()[2], 2)
+    contended = load_15m > 1.5 or load_15m_end > 1.5
+    if contended:
+        print(
+            f"WARNING: contended draw (15-min load {load_15m} at start, "
+            f"{load_15m_end} at end; protocol threshold 1.5) — totals are "
+            "not comparable to quiet-machine draws, judge by per-query "
+            "ratios and isolated reruns (BASELINE.md)",
+            file=sys.stderr,
+        )
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
@@ -155,7 +175,8 @@ def main() -> None:
         "load_1m": load_1m,
         "load_5m": load_5m,
         "load_15m": load_15m,
-        "load_15m_end": round(os.getloadavg()[2], 2),
+        "load_15m_end": load_15m_end,
+        "contended": contended,
         "pass_policy": f"min-over-{n_passes}",
     }
     # round 1+2's full stdout line got head-truncated in the driver's
@@ -200,6 +221,7 @@ def main() -> None:
         "load_5m": load_5m,
         "load_15m": load_15m,
         "load_15m_end": out["load_15m_end"],
+        "contended": contended,
         "pass_policy": out["pass_policy"],
     }
     # compact line BOTH sides of the full record: whichever end of stdout
