@@ -182,15 +182,30 @@ def test_asof_join_matches_python_model(spark, rows):
     assert got == expected
 
 
-@given(
-    texts=st.lists(
-        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
-    )
+# Unicode-rich text domain (VERDICT r10 item 5): the operator contracts
+# claim to handle CJK/emoji/whitespace-only/combining-accent/control
+# texts (zero-token word tier, char tier, NFC), so the generated domain
+# must contain them — the old "ab cd" alphabet property-tested only the
+# ASCII happy path. Excluded on purpose: characters whose LOWERCASING
+# differs between Java and Python (U+0130, final sigma) — the engine's
+# tokenizer contract is Java lower + ASCII \w, and the model mirrors it
+# with str.lower + re.ASCII, which agree on everything generated here.
+EDGE_TEXT_ALPHABET = "ab c\t日本語中文😀é́\x01"
+edge_texts_strategy = st.lists(
+    st.text(alphabet=EDGE_TEXT_ALPHABET, min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
 )
+
+
+@given(texts=edge_texts_strategy)
 @settings(**SETTINGS)
 def test_minhash_matches_python_model(spark, texts):
     """Row-wise MinHash signatures equal an independent Python
-    reimplementation (same md5 derivations) for arbitrary text."""
+    reimplementation (same md5 derivations) for arbitrary text —
+    including CJK/emoji/control characters, where the ASCII ``\\w``
+    tokenizer (Java regex; model: re.ASCII) sees only the Latin runs
+    and the zero-token contract drops fully non-``\\w`` docs."""
     import hashlib
 
     from flink_streaming_twitter_spark.functions.hashing import (
@@ -213,7 +228,10 @@ def test_minhash_matches_python_model(spark, texts):
     params = minhash_params_sql(8)
     expected = {}
     for i, t in enumerate(texts):
-        toks = re.findall(r"\w+", t.lower())
+        # re.ASCII: Spark's \w is Java regex (ASCII word chars); Python's
+        # default \w is Unicode and would tokenize CJK — the model must
+        # mirror the engine's contract, not Python's default
+        toks = re.findall(r"\w+", t.lower(), flags=re.ASCII)
         if not toks:
             # zero-token contract (round 10): no shingle evidence — the
             # doc is ABSENT from the signature table, not signed as the
@@ -228,6 +246,91 @@ def test_minhash_matches_python_model(spark, texts):
         }
         expected[i] = [min((a * x + b) % MERSENNE_31 for x in hashes) for a, b in params]
     assert got == expected
+
+
+@given(texts=edge_texts_strategy)
+@settings(**SETTINGS)
+def test_char_shingle_sets_match_python_model(spark, texts):
+    """The round-11 char tier vs an independent Python model over the
+    Unicode-rich domain: NFC (unicodedata — the same library the
+    operator's pandas_udf uses, here reimplementing the CHAIN, not
+    sharing code) → lower → collapse Java-``\\s`` runs → strip C0/DEL →
+    trim spaces → distinct 5-gram md5 hashes; cleaned-empty docs have
+    no evidence. This property-tests the raw-text prefilter equivalence
+    (CHAR_EVIDENCE_PATTERN ⟺ cleaned text non-empty) on generated
+    whitespace/control-only strings, not just the fixture rows."""
+    import hashlib
+    import re
+    import unicodedata
+
+    from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: set(r.shs)
+        for r in doc_shingle_sets(docs, k=5, shingle_mode="char").collect()
+    }
+    expected = {}
+    for i, t in enumerate(texts):
+        nt = unicodedata.normalize("NFC", t).lower()
+        nt = re.sub(r"[ \t\n\x0b\f\r]+", " ", nt)  # Java \s, not Python's
+        nt = re.sub(r"[\x00-\x1f\x7f]", "", nt)
+        nt = nt.strip(" ")
+        if not nt:
+            continue  # no-evidence contract: absent, not empty-signed
+        grams = {nt[j : j + 5] for j in range(max(len(nt) - 4, 1))}
+        expected[i] = {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 31)
+            for g in grams
+        }
+    assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.sampled_from([float("nan"), float("inf"), float("-inf")]),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_finite_or_null_aggregates_match_python_model(spark, vals):
+    """The non-finite contract (round 10) property-tested instead of
+    fixture-tested (VERDICT r10 item 5): over measurements freely
+    mixing NULLs, NaN, and ±inf, aggregating finite_or_null(value)
+    equals a Python model that aggregates the FINITE subset only —
+    counts exact, extremes exact, mean to float tolerance — and
+    count(*) keeps every row (nullify, don't filter)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.functions.numeric import finite_or_null
+
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(finite_or_null(F.col("v"))).alias("n_meas"),
+        F.min(finite_or_null(F.col("v"))).alias("mn"),
+        F.max(finite_or_null(F.col("v"))).alias("mx"),
+        F.avg(finite_or_null(F.col("v"))).alias("mean"),
+    ).collect()[0]
+    finite = [v for v in vals if v is not None and math.isfinite(v)]
+    assert row.n_rows == len(vals)
+    assert row.n_meas == len(finite)
+    if not finite:
+        assert row.mn is None and row.mx is None and row.mean is None
+    else:
+        assert row.mn == min(finite) and row.mx == max(finite)
+        assert math.isclose(
+            row.mean, sum(finite) / len(finite), rel_tol=1e-9, abs_tol=1e-6
+        )
 
 
 split_weights_strategy = st.lists(
