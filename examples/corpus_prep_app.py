@@ -11,7 +11,10 @@ oracle-verified gate operator):
 3. near dedup     — MinHash-LSH pairs → connected components → keep the
                     min doc_id per cluster (--deep-graphs switches the
                     closure to the large-star/small-star form for
-                    corpora with long transitive dup chains);
+                    corpora with long transitive dup chains; --char-tier
+                    unions char-5-gram evidence over NFC-normalized text
+                    into the graph, the multilingual tier that catches
+                    CJK/emoji near-dups the ASCII word tokenizer cannot);
 4. admission      — weighted per-domain mixing + per-domain quota cap
                     (salted two-phase form via --hot-domains when one
                     source dominates);
@@ -70,6 +73,7 @@ def run(
     nfc: bool = False,
     deep_graphs: bool = False,
     hot_domains: bool = False,
+    char_tier: bool = False,
     cap_k: int = 10,
     show: bool = True,
 ):
@@ -101,8 +105,9 @@ def run(
     # quadratic join, with its occupancy) — the deploy pipeline sinks it
     # to the metrics table below so cap loss is VISIBLE in every run's
     # artifacts, never silently absorbed (VERDICT r9 item 5).
+    survivors = docs.join(exact_kept.select("doc_id"), "doc_id")
     pairs, dropped_buckets = minhash_lsh_dedup(
-        docs.join(exact_kept.select("doc_id"), "doc_id"),
+        survivors,
         num_perm=P.MINHASH_PERMS,
         bands=P.MINHASH_BANDS,
         est_threshold=P.MINHASH_EST_THRESHOLD,
@@ -110,6 +115,32 @@ def run(
         accounting=True,
     )
     pairs = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    dropped_buckets = dropped_buckets.withColumn("tier", F.lit("word"))
+    if char_tier:
+        # --char-tier: union the multilingual evidence (char-5-gram
+        # MinHash over NFC-normalized text) into the dup graph — word
+        # shingles see nothing in non-\w scripts, so without this tier
+        # near-identical CJK/emoji boilerplate survives dedup untouched
+        # (round 11; the oracle-verified twin is dedup_minhash_lsh_char).
+        # Same banding/cap machinery, so its loss ledger unions into the
+        # same metrics table, labelled by tier.
+        from flink_streaming_twitter_spark.plans.dedup import CHAR_SHINGLE_K
+
+        char_pairs, char_dropped = minhash_lsh_dedup(
+            survivors,
+            num_perm=P.MINHASH_PERMS,
+            bands=P.MINHASH_BANDS,
+            est_threshold=P.MINHASH_EST_THRESHOLD,
+            shingle_k=CHAR_SHINGLE_K,
+            shingle_mode="char",
+            accounting=True,
+        )
+        pairs = pairs.union(
+            char_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        dropped_buckets = dropped_buckets.union(
+            char_dropped.withColumn("tier", F.lit("char"))
+        )
     dropped_buckets.write.mode("overwrite").parquet(f"{out}/metrics/dedup_cap_loss")
     cc = connected_components_star if deep_graphs else connected_components
     comp = cc(pairs, nodes=exact_kept.select(F.col("doc_id").alias("id")))
@@ -156,6 +187,11 @@ def main() -> None:
         action="store_true",
         help="salted two-phase quota cap for a skewed source distribution",
     )
+    ap.add_argument(
+        "--char-tier",
+        action="store_true",
+        help="union char-5-gram MinHash evidence (multilingual near-dups) into the dup graph",
+    )
     ap.add_argument("--cap-k", type=int, default=10)
     args = ap.parse_args()
 
@@ -168,6 +204,7 @@ def main() -> None:
         nfc=args.nfc,
         deep_graphs=args.deep_graphs,
         hot_domains=args.hot_domains,
+        char_tier=args.char_tier,
         cap_k=args.cap_k,
     )
     spark.stop()

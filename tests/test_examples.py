@@ -33,7 +33,7 @@ def test_corpus_prep_app_end_to_end(spark, sf_dir):
         # cap never binds at sf0.001 occupancies, so any row would mean
         # silently lost pairs
         ledger = spark.read.parquet(f"{out}/metrics/dedup_cap_loss")
-        assert set(ledger.columns) == {"band", "sig", "occupancy"}
+        assert set(ledger.columns) == {"band", "sig", "occupancy", "tier"}
         assert ledger.count() == 0
         # the profile is the corpus's own aggregate
         assert sum(r.n_docs for r in rows) == corpus.count()
@@ -53,6 +53,20 @@ def test_corpus_prep_app_end_to_end(spark, sf_dir):
             assert again.exceptAll(corpus).count() == 0
         finally:
             shutil.rmtree(out2, ignore_errors=True)
+        # --char-tier (round 11): the multilingual evidence unions into
+        # the dup graph, so the curated corpus can only shrink (more dup
+        # evidence merges more clusters, never splits one), and the
+        # ledger gains the tier label with the cap still inert
+        out3 = tempfile.mkdtemp(prefix="corpus_smoke3_")
+        try:
+            run(spark, sf_dir, out3, cap_k=cap_k, char_tier=True, show=False)
+            char_corpus = spark.read.parquet(f"{out3}/corpus")
+            assert 0 < char_corpus.count() <= corpus.count()
+            ledger3 = spark.read.parquet(f"{out3}/metrics/dedup_cap_loss")
+            assert set(ledger3.columns) == {"band", "sig", "occupancy", "tier"}
+            assert ledger3.count() == 0
+        finally:
+            shutil.rmtree(out3, ignore_errors=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
