@@ -653,3 +653,48 @@ def test_word_prefilter_runs_on_lowered_text_kelvin_sign(spark):
     rows = {r.doc_id: set(r.shs) for r in doc_shingle_sets(docs).collect()}
     assert set(rows) == {0, 1}, "Kelvin-sign doc must survive the prefilter"
     assert rows[0] == rows[1]
+
+
+def test_char_normalized_text_equals_corpus_normalize_pass(spark):
+    """char_normalized_text is the corpus normalize pass INLINED as a
+    Column (operators/textops.normalize_text returns a whole projected
+    DataFrame, which the shingle expression can't compose with) — the
+    two implementations must stay byte-identical, or char shingles
+    would silently diverge from the text the corpus-prep pipeline
+    persists. Pinned across the edge classes both claim to handle."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.operators.dedup import char_normalized_text
+    from flink_streaming_twitter_spark.operators.textops import normalize_text
+
+    rows = [
+        (0, "  Mixed   CASE\t and\n runs  "),
+        (1, "café résumé"),          # combining accents -> NFC
+        (2, "日本語のテキスト 中文文本"),
+        (3, "\x01ctrl\x7fchars\x02 kept?"),
+        (4, ""),
+        (5, " \t "),
+        (6, "\U0001F600 emoji \U0001F680"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    inlined = {
+        r.doc_id: r.nt
+        for r in docs.select(
+            "doc_id", char_normalized_text(F.col("text"), nfc=True).alias("nt")
+        ).collect()
+    }
+    pipeline = {
+        r.doc_id: r.norm_text for r in normalize_text(docs, nfc=True).collect()
+    }
+    assert inlined == pipeline
+    # and the nfc=False twins agree too (the ingest-normalized fast path)
+    inlined_raw = {
+        r.doc_id: r.nt
+        for r in docs.select(
+            "doc_id", char_normalized_text(F.col("text"), nfc=False).alias("nt")
+        ).collect()
+    }
+    pipeline_raw = {
+        r.doc_id: r.norm_text for r in normalize_text(docs, nfc=False).collect()
+    }
+    assert inlined_raw == pipeline_raw
