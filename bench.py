@@ -144,19 +144,23 @@ def main() -> None:
     # (BASELINE.md), and same-code totals span 58-103 s with machine
     # state the dominant factor — so the artifact itself says whether
     # its own criterion held, instead of relying on a reader to join
-    # the load fields against the protocol prose. Threshold 1.5: the
-    # documented settle gradient put quiet draws at 15-min load <= ~1.1
-    # and the flagged r10 contended draw at 4.3->5.8. The draw is still
+    # the load fields against the protocol prose. Calibrated on the
+    # recorded draws: START threshold 1.5 (documented quiet starts
+    # <= ~1.1, the flagged r10 contended draw 4.3); END threshold 2.5,
+    # higher because the bench's OWN ~4-minute run raises the 15-minute
+    # average by ~0.7-0.9 even on an idle machine (measured quiet ends
+    # 1.21 and 1.39 vs contended ends 4.29 and 5.82 — 2.5 separates
+    # both populations with margin on each side). The draw is still
     # RECORDED either way (the driver's capture is not ours to refuse)
     # — it just carries its own caveat, plus a stderr warning.
     load_15m_end = round(os.getloadavg()[2], 2)
-    contended = load_15m > 1.5 or load_15m_end > 1.5
+    contended = load_15m > 1.5 or load_15m_end > 2.5
     if contended:
         print(
             f"WARNING: contended draw (15-min load {load_15m} at start, "
-            f"{load_15m_end} at end; protocol threshold 1.5) — totals are "
-            "not comparable to quiet-machine draws, judge by per-query "
-            "ratios and isolated reruns (BASELINE.md)",
+            f"{load_15m_end} at end; thresholds 1.5 start / 2.5 end) — "
+            "totals are not comparable to quiet-machine draws, judge by "
+            "per-query ratios and isolated reruns (BASELINE.md)",
             file=sys.stderr,
         )
     out = {

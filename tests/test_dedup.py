@@ -698,3 +698,44 @@ def test_char_normalized_text_equals_corpus_normalize_pass(spark):
         r.doc_id: r.norm_text for r in normalize_text(docs, nfc=False).collect()
     }
     assert inlined_raw == pipeline_raw
+
+
+@pytest.mark.parametrize(
+    "corpus_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_char_mode_default_cap_inert_on_gate_corpus(spark, corpus_dir):
+    """The char-tier twin of the cap-inertness gate above, separately
+    necessary because the word-mode certification does NOT transfer:
+    char-gram band signatures collide far more heavily (shared
+    vocabulary ⇒ shared grams), and at ×100 the default cap genuinely
+    BINDS in char mode (32 oversized buckets, max occupancy 8,208 vs
+    cap 1,024; 72.0 M uncapped vs 48.7 M capped pairs — SCALE.md
+    round-11 block), which is the designed boilerplate-family behavior
+    WITH its accounting ledger. On the GATE corpora, though, the
+    char entry verifies against an UNCAPPED oracle, so char occupancy
+    must stay under the cap there — this fails with the occupancy
+    number if corpus regeneration ever changes that, instead of an
+    opaque driver hash mismatch."""
+    from flink_streaming_twitter_spark.operators.dedup import (
+        DEFAULT_LSH_MAX_BUCKET,
+        banded_signatures,
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans.dedup import CHAR_SHINGLE_K
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    docs = load_table(spark, corpus_dir, "documents")
+    sigs = minhash_signatures(
+        doc_shingle_sets(docs, k=CHAR_SHINGLE_K, shingle_mode="char"),
+        P.MINHASH_PERMS,
+    )
+    banded = banded_signatures(sigs, P.MINHASH_PERMS, P.MINHASH_BANDS)
+    max_occ = banded.groupBy("band", "sig").count().agg({"count": "max"}).collect()[0][0]
+    assert max_occ < DEFAULT_LSH_MAX_BUCKET, (
+        f"gate corpus grew a CHAR band bucket of occupancy {max_occ} >= cap "
+        f"{DEFAULT_LSH_MAX_BUCKET}: dedup_minhash_lsh_char verifies against "
+        "an UNCAPPED oracle and is no longer comparable — parameterize its "
+        "oracle with the occupancy filter (see _minhash_lsh_sql(cap=))"
+    )
