@@ -470,6 +470,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     hash_bits: int = 31,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold over k-word shingle sets:
     (doc_a, doc_b, jaccard). Complete — no false negatives.
@@ -511,7 +512,12 @@ def ngram_jaccard_pairs(
     collisions by design; exactness is what cannot.
     """
     # the packed sets feed the inverted index and both verification sides
-    sets = doc_shingle_sets(docs, k=shingle_k, hash_bits=hash_bits).persist()
+    # (shingle_mode="char" switches the evidence base — the exactness
+    # baseline for the multilingual tier, used by the recall measurement
+    # in SCALE.md; same PPJoin machinery either way)
+    sets = doc_shingle_sets(
+        docs, k=shingle_k, hash_bits=hash_bits, shingle_mode=shingle_mode
+    ).persist()
     ex = sets.select("doc_id", "sz", F.explode("shs").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 

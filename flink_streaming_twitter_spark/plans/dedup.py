@@ -91,15 +91,19 @@ def dedup_minhash_lsh_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-``\\w`` scripts (CJK, emoji-only) had NO near-dup evidence in
     any shingle tier and multilingual boilerplate sailed through dedup.
     Same signatures, banding, cap, and estimated-Jaccard filter; only
-    doc_shingle_sets' evidence base changes. Threshold note for deploy:
-    char-5-gram Jaccard runs HIGHER than word-3-gram Jaccard between
-    same-vocabulary documents (shared words ⇒ shared grams even across
-    different sentences — 12,566 pairs vs the word entry's 256 at
-    sf0.1), so production char-tier thresholds are typically tuned
-    above the word tier's (the CCNet-style pipelines this mirrors run
-    char dedup at higher similarity cuts); the gate entry keeps the
-    shared MINHASH_EST_THRESHOLD so the oracle certifies the machinery
-    at the family's pinned parameters. Edge-corpus-bound: the
+    doc_shingle_sets' evidence base changes. Output note for deploy:
+    char-gram MID-RANGE similarity runs higher than word-gram between
+    same-vocabulary documents (shared words ⇒ shared grams across
+    different sentences), so at 16 permutations the ESTIMATED-Jaccard
+    filter passes many pairs whose true char-J sits below threshold —
+    12,566 pairs at sf0.1 vs exactly 256 with true char-J ≥ 0.5
+    (measured; the word entry's true set is the same 256). Deploy the
+    exact-verified twin (lsh_verified_jaccard(shingle_mode="char") —
+    measured 100% recall of the true set at 9.4× the exact all-pairs
+    join's speed, SCALE.md round-11 block) or raise the estimate
+    threshold; the gate entry keeps the family's pinned parameters so
+    the oracle certifies the estimation machinery itself.
+    Edge-corpus-bound: the
     audit corpus carries a near-identical CJK pair (word mode: zero
     evidence) and a combining-vs-precomposed accent pair (exact tier:
     byte-distinct) that this entry must pair —

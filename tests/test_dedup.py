@@ -739,3 +739,32 @@ def test_char_mode_default_cap_inert_on_gate_corpus(spark, corpus_dir):
         "an UNCAPPED oracle and is no longer comparable — parameterize its "
         "oracle with the occupancy filter (see _minhash_lsh_sql(cap=))"
     )
+
+
+def test_char_two_tier_matches_exact_char_allpairs_on_fixture(spark):
+    """The char-tier deploy twin (LSH candidates + exact verify) must
+    reproduce the exact char all-pairs join's output on the fixture —
+    same pairs, same exact Jaccard values — including the CJK twins
+    (J=0.9) and the one-word-variant cluster (char-J=2/3, BELOW the
+    word tier's mid-range; both machinery paths share
+    doc_shingle_sets(shingle_mode="char") so the verify arithmetic is
+    common, and banding finds every J ≥ 2/3 fixture pair
+    deterministically under the pinned hash family). This is the
+    fixture-level pin of the sf0.1 recall measurement (SCALE.md
+    round 11: 256/256, 9.4× faster than exact)."""
+    rows = DOCS + [
+        (90, "日本語のテキスト 中文文本"),
+        (91, "日本語のテキスト 中文文本也"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(docs, shingle_k=5, shingle_mode="char").collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in lsh_verified_jaccard(docs, shingle_k=5, shingle_mode="char").collect()
+    }
+    assert exact == verified
+    assert exact[(90, 91)] == pytest.approx(0.9)  # the multilingual pair
+    assert exact[(0, 1)] == 1.0
