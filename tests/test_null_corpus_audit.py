@@ -26,6 +26,11 @@ representative per windowed-oracle family:
   — empty/whitespace/CJK — have no shingle evidence; before the
   contract Spark paired them all via a shared md5('') shingle while
   DuckDB dropped them via an sh=NULL accident — two different wrongs);
+- `dedup_minhash_lsh_char` (round 11: the multilingual tier whose
+  binding rows — CJK twin pair, precomposed/combining accent pair,
+  control-only doc — live in this corpus; its dedicated pairing test
+  below asserts the tier's reason to exist, this parametrized row
+  asserts full oracle parity on the same data);
 - `multimodal_decode_stats` (the decode-stub oracle reads true UTF-8
   payload BYTES — ascii()-on-substr read code points, diverging on the
   corpus's emoji text);
