@@ -2324,3 +2324,120 @@ def test_processing_time_trigger_fits_5s_envelope(spark):
             spark.catalog.dropTempView("cadence_probe")
         except Exception:
             pass
+
+
+def test_far_future_event_poisons_watermark_and_evicts_stream_tail(spark):
+    """Executable form of the round-11 extreme-time probe (SCALE.md
+    "Extreme-magnitude / extreme-time probe"): ONE corrupt far-future
+    timestamp advances the watermark unboundedly, so every
+    subsequently-ARRIVING ordinary event is late-beyond-watermark and
+    correctly dropped — the classic one-bad-clock-poisons-the-topic
+    production failure, and the reason the stream==batch certification
+    carries a bounded-disorder precondition. Pinned three ways: the
+    engine-reported drop counter equals the predicted distinct-window
+    count, the dropped events' windows are absent from the streaming
+    output, and the SAME data through the batch twin keeps them (batch
+    has no watermark — the parity boundary is semantics, not a bug).
+    Deploy guidance (SCALE.md): sanity-bound event time at ingest,
+    before the watermark assigner, like the NULL-ts contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    DELAY = 10
+    SIZE = 20
+    f00 = [0, 5, 18]
+    f01 = [30, 300_000_000]  # one ordinary event + the poison (~yr 2033 vs BASE)
+    f02 = [40, 55]           # arrives ONE batch after the poison
+    f03 = [60, 62, 75]       # arrives TWO batches after the poison
+
+    def w_end(s):
+        return (s // SIZE + 1) * SIZE
+
+    # The two-watermark rule (pinned by
+    # test_watermark_drop_count_matches_predicted_late_rows): batch N's
+    # LATE filter uses the watermark in force during batch N-1, while
+    # eviction/emission uses the current batch's. So f02 — one batch
+    # after the poison — still lands (late-filtered against the
+    # PRE-poison watermark, then immediately finalized by the poisoned
+    # eviction watermark), and everything from f03 onward is dropped:
+    # the poison's eviction takes one batch to become the late filter,
+    # then holds forever.
+    wm_before_poison = max(f00) - DELAY
+    wm_after_poison = max(f01) - DELAY
+    assert all(w_end(s) > wm_before_poison for s in f02)   # f02 lands
+    assert all(w_end(s) <= wm_after_poison for s in f03)   # f03 drops
+    predicted_dropped_state_rows = {w_end(s) for s in f03}  # {80}
+
+    def write_file(d, i, secs):
+        p = f"{d}/f{i:02d}.parquet"
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [BASE + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a"] * len(secs)),
+            }
+        )
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    work = tempfile.mkdtemp(prefix="poisonwm_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        for i, secs in enumerate((f00, f01, f02, f03)):
+            write_file(src, i, secs)
+        got: set = set()
+
+        def collect(batch_df, _bid):
+            got.update((r.w_start, r.w_end, r.cnt) for r in batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        pipe = StreamingPipelines(stream, "ts", "event_type", watermark=f"{DELAY} seconds")
+        q = start_query(
+            pipe.windowed_counts(size=f"{SIZE} seconds", slide=f"{SIZE} seconds"),
+            name="poisonwm",
+            output_mode="append",
+            available_now=True,
+            checkpoint_dir=f"{work}/cp",
+            foreach_batch=collect,
+        )
+        assert q.awaitTermination(300), "drain timed out"
+
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        assert dropped == len(predicted_dropped_state_rows)
+
+        epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        stream_windows = {w[0] - epoch for w in got}
+        # the post-grace tail's windows never emit downstream...
+        assert stream_windows.isdisjoint({s // SIZE * SIZE for s in f03})
+        # ...while pre-poison windows AND the one-batch grace arrivals
+        # (f02) finalize — the poison converts to drops one batch later
+        assert {s // SIZE * SIZE for s in f00 + f02} <= stream_windows
+
+        # the batch twin keeps every event — the parity boundary itself
+        rows = [(BASE + dt.timedelta(seconds=s), "a") for s in f00 + f01 + f02 + f03]
+        batch = spark.createDataFrame(rows, SCHEMA)
+        from pyspark.sql import functions as F
+
+        batch_windows = {
+            r.w - epoch
+            for r in batch.select(
+                F.unix_timestamp(F.window("ts", f"{SIZE} seconds").start).alias("w")
+            ).distinct().collect()
+        }
+        assert {s // SIZE * SIZE for s in f03} <= batch_windows
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
