@@ -94,6 +94,23 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # both this mapping and VERIFIED_WINDOW.
 TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
     (
+        "q_value_stats_sane",
+        "new this round (extreme-boundary probe follow-through, "
+        "plans/sanity.py): the 38 window slots are committed to the "
+        "VERDICT-r10-mandated 31-entry r10 tail plus the char-tier "
+        "changed closure, and displacing either would violate "
+        "changed-files-first or the mandate; verified locally at "
+        "sf0.001/0.01/0.1, on the NULL corpus, and BOUND on the "
+        "extreme corpus (tests/test_extreme_corpus_audit.py); "
+        "window-resident next round",
+    ),
+    (
+        "q_value_by_window_sane",
+        "new this round — same rationale and local verification as "
+        "q_value_stats_sane (the two sanity-bound params variants "
+        "share plans/sanity.py); window-resident next round",
+    ),
+    (
         "dedup_simhash",
         "closure-only exposure to the round-11 operators/dedup.py edits "
         "(char-shingle mode, lowered-text word prefilter): its own path "
@@ -126,6 +143,7 @@ def extension_queries() -> dict[str, QueryFn]:
     from .misc import MISC_QUERIES
     from .pipeline import PIPELINE_QUERIES
     from .relational import RELATIONAL_QUERIES
+    from .sanity import SANITY_QUERIES
     from .similarity import SIMILARITY_QUERIES
     from .textops import TEXTOPS_QUERIES
     from .tpch_extra import TPCH_EXTRA_QUERIES
@@ -165,6 +183,7 @@ def extension_queries() -> dict[str, QueryFn]:
     q.update(TPCH_EXTRA_QUERIES)
     q.update(DEDUP_QUERIES)
     q.update(PIPELINE_QUERIES)
+    q.update(SANITY_QUERIES)
     return q
 
 
@@ -177,6 +196,7 @@ def extension_oracles() -> dict[str, str]:
     from .textops import textops_oracles
 
     from .relational import RELATIONAL_ORACLES
+    from .sanity import sanity_oracles
     from .tpch_extra import TPCH_EXTRA_ORACLES
 
     o: dict[str, str] = {}
@@ -188,4 +208,5 @@ def extension_oracles() -> dict[str, str]:
     o.update(misc_oracles())
     o.update(pipeline_oracles())
     o.update(RELATIONAL_ORACLES)
+    o.update(sanity_oracles())
     return o

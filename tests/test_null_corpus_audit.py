@@ -54,7 +54,9 @@ representative per windowed-oracle family:
 
 Full-surface sweeps stay available as the manual commands (README
 "Edge-input contracts"): `python tools/make_null_corpus.py` then
-`python tools/check_oracle.py /tmp/sfnull` → expect 82/82 (since round 11; 81 before dedup_minhash_lsh_char).
+`python tools/check_oracle.py /tmp/sfnull` → expect 84/84 (round 11
+added dedup_minhash_lsh_char at 82 and the two sanity-bound variants
+at 84; 81 at round 10).
 """
 
 from __future__ import annotations
@@ -161,7 +163,7 @@ def test_char_tier_pairs_cjk_and_nfc_twins_on_edge_corpus(spark, null_corpus):
 
 
 def test_null_corpus_full_surface_when_enabled(spark, null_corpus, duck_views):
-    """The full-surface sweep (all 82 entries), pytest-runnable: SPARK_GRAFT_FULL_NULL_AUDIT=1
+    """The full-surface sweep (all 84 entries), pytest-runnable: SPARK_GRAFT_FULL_NULL_AUDIT=1
     drives EVERY queries() entry against its oracle on the NULL corpus
     (the judge's independent reproduction, in-process; ~2-4 min, so
     opt-in — the 19-entry divergence surface above runs every time)."""
