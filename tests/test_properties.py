@@ -8,6 +8,7 @@ few but each covers many rows.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -907,3 +908,89 @@ def test_influx_line_round_trips_through_line_protocol(measurement, tags, fields
             assert f[k] == float(repr(v))
         else:
             assert f[k] == v
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(width=64, allow_nan=True, allow_infinity=True, allow_subnormal=True),
+            st.sampled_from([1e300, -1e300, 1e12, -1e12, 9.999999e11, 5e-324]),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_sane_measurement_matches_python_model(spark, vals):
+    """The round-11 magnitude bound property-tested over the FULL double
+    domain (subnormals, NaN, ±inf, NULLs, the exact 1e12 boundary):
+    sane_measurement(v) is v iff finite AND |v| < bound, else NULL —
+    per-row equality against the Python model, strict at the boundary
+    (|v| == bound quarantines; one ulp below survives)."""
+    from flink_streaming_twitter_spark.functions.sanity import (
+        MEASUREMENT_MAGNITUDE_BOUND,
+        sane_measurement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i INT, v DOUBLE"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", sane_measurement(F.col("v")).alias("s")).collect()
+    }
+    expected = {
+        i: (
+            v
+            if v is not None
+            and math.isfinite(v)
+            and abs(v) < MEASUREMENT_MAGNITUDE_BOUND
+            else None
+        )
+        for i, v in enumerate(vals)
+    }
+    assert got == expected
+
+
+@given(
+    tss=st.lists(
+        st.one_of(
+            st.datetimes(
+                min_value=_dt.datetime(1800, 1, 1),
+                max_value=_dt.datetime(9999, 12, 30),
+            ),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_sane_event_time_matches_python_model(spark, tss):
+    """The round-11 event-time bound property-tested across the full
+    representable range (pre-epoch clock garbage through year-9999
+    watermark poison, NULLs): sane_event_time(ts) is ts iff
+    lo <= ts < hi, else NULL — per-row, half-open at both defaults
+    (epoch itself survives; 2100-01-01 exactly quarantines)."""
+    import datetime as dt
+
+    from flink_streaming_twitter_spark.functions.sanity import (
+        EVENT_TIME_HI,
+        EVENT_TIME_LO,
+        sane_event_time,
+    )
+
+    lo = dt.datetime.fromisoformat(EVENT_TIME_LO)
+    hi = dt.datetime.fromisoformat(EVENT_TIME_HI)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tss)], "i INT, ts TIMESTAMP"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", sane_event_time(F.col("ts")).alias("s")).collect()
+    }
+    expected = {
+        i: (t if t is not None and lo <= t < hi else None) for i, t in enumerate(tss)
+    }
+    assert got == expected

@@ -2441,3 +2441,97 @@ def test_far_future_event_poisons_watermark_and_evicts_stream_tail(spark):
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sane_event_time_before_watermark_prevents_poison_eviction(spark):
+    """The deploy answer to the poisoning above, EXECUTED (round 11,
+    functions/sanity.py): the identical replay — same files, same
+    arrival order, same poison — with ``sane_event_time`` applied
+    BEFORE the watermark assigner. The poison's timestamp nullifies at
+    ingest, a NULL event time advances no watermark and joins no window
+    (the established NULL-ts track), so the tail that the unguarded
+    twin permanently evicts (f03, two batches after the poison) lands
+    in full: engine drop counter 0, stream windows == the batch twin's
+    windows over the same guarded data. This is why the guard must sit
+    upstream of withWatermark — the poisoned-watermark failure is
+    unrecoverable downstream of it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_twitter_spark.functions.sanity import sane_event_time
+
+    DELAY = 10
+    SIZE = 20
+    files = ([0, 5, 18], [30, 300_000_000], [40, 55], [60, 62, 75])
+    sane_secs = [s for f in files for s in f if s != 300_000_000]
+    # the test's sanity horizon: one day past BASE — the poison
+    # (~yr 2033) sits inside the engine-wide 2100 default, so the
+    # deploy-side now+skew rule is modeled with explicit tight bounds
+    LO, HI = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+
+    def write_file(d, i, secs):
+        p = f"{d}/f{i:02d}.parquet"
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [BASE + dt.timedelta(seconds=s) for s in secs], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a"] * len(secs)),
+            }
+        )
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i * 3600,) * 2)
+
+    work = tempfile.mkdtemp(prefix="sanewm_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        for i, secs in enumerate(files):
+            write_file(src, i, secs)
+        got: set = set()
+
+        def collect(batch_df, _bid):
+            got.update((r.w_start, r.w_end, r.cnt) for r in batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        guarded = stream.withColumn("ts", sane_event_time(F.col("ts"), LO, HI))
+        pipe = StreamingPipelines(guarded, "ts", "event_type", watermark=f"{DELAY} seconds")
+        # update mode (the gate's stream_qb_counts mode): emits every
+        # state change immediately, so the assertion isolates the
+        # late-filter question (dropped vs landed) from append-mode's
+        # separate watermark-lag holdback of the final unfinalized
+        # window — the unguarded twin above needed append because its
+        # point WAS finalization under the poisoned eviction watermark
+        q = start_query(
+            pipe.windowed_counts(size=f"{SIZE} seconds", slide=f"{SIZE} seconds"),
+            name="sanewm",
+            output_mode="update",
+            available_now=True,
+            checkpoint_dir=f"{work}/cp",
+            foreach_batch=collect,
+        )
+        assert q.awaitTermination(300), "drain timed out"
+
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        assert dropped == 0, "the guard must leave nothing for the watermark to drop"
+
+        epoch = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        stream_windows = {w[0] - epoch for w in got}
+        # full stream==batch parity over the guarded data: every sane
+        # event's window emits (including the f03 tail the unguarded
+        # twin evicts), and the poison contributes no window at all
+        assert stream_windows == {s // SIZE * SIZE for s in sane_secs}
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
