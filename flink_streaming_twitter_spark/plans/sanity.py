@@ -22,10 +22,11 @@ corpus, where the BASE family's oracles error by construction).
 
 Reference parity note: the reference assigns event time with a fixed
 300 s bounded-disorder assumption and no upstream sanity check
-(TwitterStreamProcessing.java BoundedOutOfOrdernessTimestampExtractor
-usage) — one corrupt future tweet timestamp would silently evict its
-stream tail the same way. The bounds here are the PySpark-first answer
-the probe documented, not a translated feature.
+(PrcoessTweetFromKafkaAndWriteToInfluxDatabase.java:66,90 —
+BoundedOutOfOrdernessTimestampExtractor(Time.seconds(300))) — one
+corrupt future tweet timestamp would silently evict its stream tail
+the same way. The bounds here are the PySpark-first answer the probe
+documented, not a translated feature.
 """
 
 from __future__ import annotations

@@ -363,6 +363,38 @@ def streams_x100(spark) -> None:
         emit("streams_x100", **row)
 
 
+def sanity_x100(spark) -> None:
+    """Round-11 sanity-bound variants (plans/sanity.py) at two decades,
+    each against its base twin: the bounds are one extra `when`
+    projection inside the same hash-agg / window-explode-agg plans, so
+    the variant/base wall ratio at both scales is the measured proof
+    the quarantine contract is plan-shape-free (no new shuffle, no new
+    scan). Rows are output rows (group/window counts — identical
+    between variant and base on corpora with no insane rows, like these
+    replicas)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for base, sane in (
+        ("q_value_stats", "q_value_stats_sane"),
+        ("q_value_by_window", "q_value_by_window_sane"),
+    ):
+        row = {"bench": sane}
+        for tag, d in (("sf0.1", SF01), ("x100", X100)):
+            b_best, b_rows = timed(lambda: qs[base](spark, d))
+            s_best, s_rows = timed(lambda: qs[sane](spark, d))
+            row[f"{tag}_base"] = round(b_best, 2)
+            row[f"{tag}_sane"] = round(s_best, 2)
+            row[f"{tag}_rows"] = s_rows
+            assert s_rows == b_rows, "replicas carry no insane rows"
+        row["x100_factor"] = (
+            round(row["x100_sane"] / row["sf0.1_sane"], 2)
+            if row["sf0.1_sane"] > 0
+            else None
+        )
+        emit("sanity_x100", **row)
+
+
 def recall_denominator_x100(spark) -> None:
     """r6 measurement: the exact t=0.5 pair count at x100 (the recall
     denominator for dedup_lsh_exact's 99.85% figure), computed as 10
@@ -536,6 +568,7 @@ MANIFEST: dict[str, tuple] = {
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
     "streams_x100": (streams_x100, (f"{X100}/events",), "heaviest drains at 100x events"),
+    "sanity_x100": (sanity_x100, (f"{X100}/events",), "sanity-bound variants vs base twins at sf0.1 + 100x"),
     "recall_denominator_x100": (recall_denominator_x100, (f"{X100}/documents",), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
     "lsh_bucket_cap_x100": (lsh_bucket_cap_x100, (f"{X100}/documents",), "band-bucket occupancy and default-cap pair loss at 100x"),
 }
@@ -543,7 +576,7 @@ MANIFEST: dict[str, tuple] = {
 GROUPS = {
     "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
     "all_x100": ("build_x100", "dedup_x100", "ann_x100", "streams_x100",
-                 "recall_denominator_x100", "lsh_bucket_cap_x100"),
+                 "sanity_x100", "recall_denominator_x100", "lsh_bucket_cap_x100"),
 }
 
 
