@@ -72,6 +72,42 @@ def normalized_text_key(text: F.Column) -> F.Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def one_row_per_key(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
+    """Deterministic duplicate-KEY resolution (round 11, caught by the
+    duplicate-key corpus audit): one surviving row per key, winner =
+    min md5(content).
+
+    At-least-once ingestion re-delivers rows with the same primary key
+    — usually byte-identical retries, occasionally a conflicting
+    upstream rewrite — and the key-evidence operators were not
+    idempotent under them: per-ROW shingle evidence emitted duplicate
+    near-dup pairs and inflated LSH bucket occupancy past binding caps,
+    while the DuckDB oracles' ``SELECT DISTINCT doc_id, sh`` silently
+    UNIONED conflicting texts' shingles into a chimera document —
+    two different accidents, diverging (7 entries) the moment a corpus
+    carried a duplicate id. This helper makes key identity explicit:
+    a retry collapses to a no-op, and a content conflict resolves to
+    the content-hash-minimal observation — deterministic, engine-
+    portable (the DuckDB twin is ``arg_min(content, md5(content)) ...
+    GROUP BY key``; both engines skip NULL-content observations in the
+    arg-min, so a key with any real content never resolves to NULL,
+    and an all-NULL key keeps one NULL row for the established
+    NULL-content tracks). min_by's hash aggregation reuses an existing
+    hash partitioning on the key (no extra exchange after _spread) and
+    needs no sort — at 100 TB this is a map-side-partial agg over
+    (key, md5) pairs, not a window function.
+
+    Deliberately NOT applied to the exact tier (dup_cnt counts content
+    OBSERVATIONS — both engines agree per-row by construction) or to
+    SimHash (both engines vote-merge duplicate rows' tokens per key —
+    cross-engine-consistent, but a content conflict yields a chimera
+    fingerprint; documented residual, see SCALE.md duplicate-key note).
+    """
+    rest = [c for c in df.columns if c != key_col]
+    picked = F.min_by(F.struct(*[F.col(c) for c in rest]), F.md5(F.col(content_col)))
+    return df.groupBy(key_col).agg(picked.alias("_w")).select(key_col, "_w.*")
+
+
 # "cleaned text is non-empty", decidable on the RAW text: a character
 # survives the char_normalized_text chain iff it is neither whitespace
 # (collapsed then trimmed) nor a C0/DEL control (stripped) — NFC never
@@ -213,10 +249,21 @@ def doc_shingle_sets(
     control-only, and empty texts take part in no tier, same contract
     as word mode. ``nfc=False`` skips the Python NFC stage for
     pre-normalized input (the ingest-once deploy shape)."""
+    # duplicate-key contract (round 11): shingle EVIDENCE belongs to the
+    # document KEY, not the ingested row — at-least-once re-delivery of
+    # the same doc_id must be a no-op (it used to emit duplicate pairs
+    # and inflate bucket occupancy) and a conflicting re-delivery
+    # resolves to the content-hash-minimal text on both engines (the
+    # oracles' DISTINCT used to chimera-merge conflicting texts'
+    # shingles instead). groupBy(id) rides the _spread hash partitioning
+    # — no additional exchange.
+    resolved = one_row_per_key(
+        _spread(docs.select(id_col, text_col), id_col), id_col, text_col
+    )
     if shingle_mode == "word":
         shs = F.array_distinct(word_shingle_hashes(F.col(text_col), k, bits=hash_bits))
         keep = F.col(text_col).isNotNull() & F.lower(F.col(text_col)).rlike(r"\w")
-        base = _spread(docs, id_col).filter(keep)
+        base = resolved.filter(keep)
     elif shingle_mode == "char":
         keep = F.col(text_col).isNotNull() & F.col(text_col).rlike(CHAR_EVIDENCE_PATTERN)
         # materialize the normalized text as its own projected column:
@@ -225,10 +272,8 @@ def doc_shingle_sets(
         # PYTHON_UDF), and the split also guarantees the NFC stage runs
         # ONCE per row instead of once per reference in the shingle
         # expression (the sequence bound and the lambda both read it)
-        base = (
-            _spread(docs, id_col)
-            .filter(keep)
-            .select(F.col(id_col), char_normalized_text(F.col(text_col), nfc=nfc).alias("_nt"))
+        base = resolved.filter(keep).select(
+            F.col(id_col), char_normalized_text(F.col(text_col), nfc=nfc).alias("_nt")
         )
         shs = F.array_distinct(char_shingle_hashes(F.col("_nt"), k, bits=hash_bits))
     else:

@@ -203,8 +203,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
+    # duplicate-key contract (round 11): the node set is the set of
+    # document KEYS — a re-delivered row must not mint a second node
+    # (the oracle's recursive CTE seeds from DISTINCT doc_id)
     comp = connected_components(
-        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id"))
+        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id")).distinct()
     )
     return _cluster_output(comp)
 
@@ -222,8 +225,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
+    # duplicate-key contract: same DISTINCT node seed as dedup_clusters
     comp = connected_components_star(
-        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id"))
+        _dup_evidence(docs), nodes=docs.select(F.col("doc_id").alias("id")).distinct()
     )
     return _cluster_output(comp)
 
@@ -268,11 +272,17 @@ def _shingles_sql(bits: int = 31) -> str:
     # such docs by DIFFERENT accidents (Spark paired them all via a
     # shared md5('') shingle; DuckDB's row collapsed to sh=NULL and
     # vanished from joins) — caught by the Unicode edge-corpus audit.
+    # duplicate-key contract (round 11): one text per doc_id, winner =
+    # min md5(text) — the arg_min twin of operators.dedup.one_row_per_key.
+    # Without it this CTE's DISTINCT silently UNIONED conflicting
+    # re-delivered texts' shingles into a chimera document while the
+    # operator emitted per-row evidence — two different accidents.
     return f"""
 toks AS (
   SELECT * FROM (
     SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS tk
-    FROM documents WHERE text IS NOT NULL
+    FROM (SELECT doc_id, arg_min(text, md5(text)) AS text
+          FROM documents WHERE text IS NOT NULL GROUP BY doc_id)
   ) WHERE len(tk) > 0
 ),
 shingles AS (
@@ -303,11 +313,14 @@ def _char_shingles_sql(bits: int = 31) -> str:
     k = CHAR_SHINGLE_K
     return rf"""
 norm AS (
+  -- duplicate-key contract (round 11): same arg_min resolution as the
+  -- word tier — see _shingles_sql
   SELECT doc_id,
          trim(regexp_replace(
               regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'),
               '[\x00-\x1f\x7f]', '', 'g')) AS nt
-  FROM documents WHERE text IS NOT NULL
+  FROM (SELECT doc_id, arg_min(text, md5(text)) AS text
+        FROM documents WHERE text IS NOT NULL GROUP BY doc_id)
 ),
 nz AS (SELECT doc_id, nt FROM norm WHERE len(nt) > 0),
 shingles AS (

@@ -68,7 +68,21 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 10 — the earlier ascii()-on-substr form read code points,
     which diverges from a byte-reading decoder on any non-ASCII text);
     a missing byte is 0, mirroring the stub's zero padding."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import one_row_per_key
+
+    # duplicate-key contract (round 11, caught by the duplicate-key
+    # corpus audit): media identity is the KEY — a re-delivered payload
+    # row must not decode twice, and (worse) the decoded↔frame-sample
+    # join below MULTIPLIES rows on a duplicated media_id (2 copies →
+    # 4 joined rows), silently inflating every per-mime stat. One
+    # deterministic observation per id (content-hash-min winner; NULL
+    # payloads keep their one NULL-field row — the r8 degrade contract),
+    # resolved BEFORE the decode kernel so the retry costs zero decode.
+    docs = one_row_per_key(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
@@ -216,7 +230,12 @@ def _oracle_payload_byte(b: int) -> str:
 
 MULTIMODAL_DECODE_STATS_SQL = f"""
 WITH payload AS (
-  SELECT doc_id, encode(text) AS p, hex(encode(text)) AS ph FROM documents
+  -- duplicate-key contract (round 11): one payload per doc_id, winner =
+  -- min md5(text) — the arg_min twin of one_row_per_key; an all-NULL id
+  -- keeps one NULL-field row (arg_min skips NULL args)
+  SELECT doc_id, encode(text) AS p, hex(encode(text)) AS ph
+  FROM (SELECT doc_id, arg_min(text, md5(text)) AS text
+        FROM documents GROUP BY doc_id)
 ),
 decoded AS (
   SELECT
