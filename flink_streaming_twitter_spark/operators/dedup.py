@@ -97,11 +97,14 @@ def one_row_per_key(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     needs no sort — at 100 TB this is a map-side-partial agg over
     (key, md5) pairs, not a window function.
 
-    Deliberately NOT applied to the exact tier (dup_cnt counts content
-    OBSERVATIONS — both engines agree per-row by construction) or to
-    SimHash (both engines vote-merge duplicate rows' tokens per key —
-    cross-engine-consistent, but a content conflict yields a chimera
-    fingerprint; documented residual, see SCALE.md duplicate-key note).
+    Applied at every KEY-evidence ingest point: the shingle tiers
+    (doc_shingle_sets), SimHash (simhash_fingerprints — before it, a
+    conflict vote-merged two texts into a chimera fingerprint, with
+    Spark counting a shared token twice where the oracle's DISTINCT
+    counted it once), and the media decode path. Deliberately NOT
+    applied to the exact tier (dup_cnt counts content OBSERVATIONS —
+    both engines agree per-row by construction) or to row-level
+    fact aggregates; see SCALE.md's duplicate-key note for the scope.
     """
     rest = [c for c in df.columns if c != key_col]
     picked = F.min_by(F.struct(*[F.col(c) for c in rest]), F.md5(F.col(content_col)))
@@ -610,9 +613,20 @@ def simhash_fingerprints(
     sums — wide but shallow, fully codegen'd, no UDF. Repartitioned by id
     pre-explode for the same straggler reason as doc_shingle_sets; token
     dedup happens row-wise (array_distinct) so no global distinct shuffle
-    is needed before the vote aggregate."""
+    is needed before the vote aggregate.
+
+    Duplicate-key contract (round 11, closing the SimHash residual the
+    contract's first pass documented): the fingerprint belongs to the
+    KEY — one_row_per_key resolution before tokenization, same as the
+    shingle tiers. Without it a re-delivered row doubled every vote
+    (sign-preserving, so the fingerprint survived by arithmetic luck)
+    while the oracle's ``DISTINCT doc_id, token`` voted once, and a
+    CONFLICTING re-delivery vote-merged two texts into a chimera
+    fingerprint matching neither — with Spark counting a shared token
+    twice where DuckDB counted it once, a divergence waiting for the
+    first vote-sum near zero."""
     tok = (
-        _spread(docs, id_col)
+        one_row_per_key(_spread(docs.select(id_col, text_col), id_col), id_col, text_col)
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),

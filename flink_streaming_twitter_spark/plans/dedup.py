@@ -438,7 +438,13 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t FROM documents
+  -- duplicate-key contract (round 11): same arg_min resolution as the
+  -- shingle tiers — see _shingles_sql (before it, this DISTINCT voted a
+  -- conflict's shared token once where Spark's per-row votes counted
+  -- it twice)
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+  FROM (SELECT doc_id, arg_min(text, md5(text)) AS text
+        FROM documents WHERE text IS NOT NULL GROUP BY doc_id)
 ),
 th AS (
   SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok

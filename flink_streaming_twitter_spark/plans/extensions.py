@@ -146,15 +146,17 @@ TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
     ),
     (
         "dedup_simhash",
-        "closure-only exposure to the round-11 operators/dedup.py edits "
-        "(char-shingle mode, lowered-text word prefilter, one_row_per_key "
-        "resolution): its own path — token bit-votes via "
-        "simhash_fingerprints — touches no doc_shingle_sets tier and is "
-        "byte-identical this round (its duplicate-key behavior is the "
-        "cross-engine-consistent vote-merge, documented residual in "
-        "SCALE.md); driver-green r10, re-verified locally at "
-        "sf0.001/0.01/0.1 and on the NULL and duplicate-key corpora "
-        "under final round-11 code",
+        "genuinely changed late in round 11 (duplicate-key contract, "
+        "second pass: the fingerprint belongs to the KEY — "
+        "one_row_per_key before tokenization, oracle tok CTE arg_min-"
+        "grouped identically; before it a conflicting re-delivery "
+        "vote-merged two texts into a chimera fingerprint, with Spark "
+        "counting a shared token twice where the oracle's DISTINCT "
+        "counted once): the window was fixed at round start per the "
+        "mandate; gate corpora carry no duplicate keys so gate outputs "
+        "are byte-identical; verified locally at sf0.001/0.01/0.1, on "
+        "the NULL corpus, and BOUND on the duplicate-key corpus "
+        "(winner-not-chimera pinned); window-resident next round",
     ),
     (
         "dedup_clusters_star",

@@ -33,7 +33,11 @@ def _load_tool(name: str):
     return mod
 
 
-# the round-11 divergence surface (formerly FAIL on this corpus)...
+# the round-11 divergence surface (formerly FAIL on this corpus), plus
+# SimHash — which passed the first probe only by arithmetic luck
+# (Spark's per-row votes counted a conflict's shared token twice where
+# the oracle's DISTINCT counted once; a retry doubled every vote
+# sign-preservingly) and now rides the same one_row_per_key resolution
 FIXED_ENTRIES = [
     "dedup_minhash_lsh_char",
     "dedup_minhash_lsh_capped",
@@ -42,13 +46,13 @@ FIXED_ENTRIES = [
     "dedup_lsh_exact",
     "dedup_clusters",
     "multimodal_decode_stats",
+    "dedup_simhash",
 ]
 # ...plus representatives of every deliberately-ROW-identity surface
 # (consistent across engines by construction — the audit proves the
 # contract's SCOPE, not just its fixes) and the contract-covered twins
 ROW_IDENTITY_REPS = [
     "dedup_exact",          # dup_cnt counts content observations
-    "dedup_simhash",        # cross-engine-consistent vote-merge (documented residual)
     "multimodal_meta",      # observation-level view
     "similarity_brute_topk",  # identical-content vec_id dup
     "q_value_stats",        # events rows are facts
@@ -134,6 +138,32 @@ def test_shingle_evidence_is_key_idempotent(spark, dup_corpus):
             .collect()[0][0]
         )
         assert mx == 1, f"{mode}-mode evidence must be one row per key"
+
+
+def test_simhash_fingerprint_is_winner_not_chimera(spark):
+    """A conflicting re-delivery must resolve to the content-hash-winner
+    text's OWN fingerprint — not the vote-merge of both texts — pinned
+    on an inline frame where the chimera is provably distinct from
+    either text's fingerprint (the two texts share no tokens, so merged
+    votes flip bits of both)."""
+    from flink_streaming_twitter_spark.operators.dedup import simhash_fingerprints
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota kappa"
+    conflict = spark.createDataFrame(
+        [(1, t1), (1, t2)], "doc_id INT, text STRING"
+    )
+    singles = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id INT, text STRING"
+    )
+    fp_conflict = simhash_fingerprints(conflict).collect()[0].simhash
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(singles).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    winner_id = 1 if md5(t1) < md5(t2) else 2
+    assert fp_conflict == fps[winner_id]
+    assert fps[1] != fps[2], "fixture texts must fingerprint differently"
 
 
 def test_decode_counts_keys_not_rows(spark, dup_corpus):

@@ -26,9 +26,11 @@ oracles arg_min-grouped identically.
 Deliberately-row-identity surfaces (consistent across engines by
 construction, proven by the same audit): the exact tier (dup_cnt
 counts content observations), every events/orders aggregate (rows are
-facts), multimodal_meta (observation-level view), and SimHash (both
-engines vote-merge duplicate rows' tokens per key — consistent, but a
-content conflict yields a chimera fingerprint; documented residual).
+facts), and multimodal_meta (observation-level view). SimHash also
+rides the key contract (second pass, same round): before it, a
+conflict vote-merged two texts into a chimera fingerprint, with Spark
+counting a shared token twice where the oracle's DISTINCT counted
+once.
 
     python tools/make_dupkey_corpus.py           # sf0.001 -> /tmp/sfdup
     python tools/check_oracle.py /tmp/sfdup      # expect 84/84 OK
