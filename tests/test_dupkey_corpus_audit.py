@@ -54,7 +54,8 @@ FIXED_ENTRIES = [
 ROW_IDENTITY_REPS = [
     "dedup_exact",          # dup_cnt counts content observations
     "multimodal_meta",      # observation-level view
-    "similarity_brute_topk",  # identical-content vec_id dup
+    "similarity_brute_topk",  # retry AND conflicting-vector vec_id dups
+    "dedup_embedding_cosine",  # same, through the pair-stream modality
     "q_value_stats",        # events rows are facts
     "q_user_top_orders",    # duplicated order row ranks identically
     "dedup_minhash_lsh",    # word tier under the contract

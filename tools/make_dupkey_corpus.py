@@ -71,11 +71,20 @@ COPY (
   UNION ALL SELECT (SELECT min(event_id)+1 FROM '{src}/events.parquet'),
             (SELECT min(ts) FROM '{src}/events.parquet'), 7, 'click', 99.5, '{{}}'
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    (dim,) = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()
     con.execute(f"""
 COPY (
   SELECT * FROM '{src}/embeddings.parquet'
+  -- retry: identical vector re-delivered under its vec_id
   UNION ALL SELECT * FROM '{src}/embeddings.parquet'
             WHERE vec_id = (SELECT min(vec_id) FROM '{src}/embeddings.parquet')
+  -- conflict: an existing non-query vec_id gains a DIFFERENT vector —
+  -- probed cross-engine-consistent (per-row on both sides) across all
+  -- five embedding entries; kept here so that stays audited
+  UNION ALL SELECT (SELECT min(vec_id)+7 FROM '{src}/embeddings.parquet'),
+            list_transform(range({dim}), x -> 0.25::FLOAT), 1
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
 COPY (
