@@ -555,6 +555,8 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+-- empty-input contract: see the q_rollup_counts oracle (plans/relational.py)
+HAVING count(*) > 0
 """,
     "q_order_rank_distribution": """
 SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -673,6 +675,8 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
+-- empty-input contract: see the q_rollup_counts oracle (plans/relational.py)
+HAVING count(*) > 0
 """,
     "tpch_q13_customer_distribution": """
 SELECT c_count, count(*) AS custdist

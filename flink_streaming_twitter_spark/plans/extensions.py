@@ -92,7 +92,48 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and VERIFIED_WINDOW.
+# Shared reasons for the empty-input-contract oracle edit (round 11):
+# three super-aggregate oracles (ROLLUP/CUBE/GROUPING SETS) gained a
+# one-line HAVING count(*) > 0 so they mirror Spark's no-data-no-rows
+# cold-start semantics (standard SQL emits the () grand-total row with
+# count 0 on EMPTY input; every real group has count >= 1, so the
+# filter is exact on non-empty data). The edit lives inside two large
+# oracle modules, so module-granular rotation accounting marks every
+# sibling entry affected.
+_EMPTY_CONTRACT_CHANGED = (
+    "oracle gained the empty-input HAVING filter (round 11 empty-corpus "
+    "audit: Spark's super-aggregates emit zero rows on zero input rows "
+    "where standard SQL emits a count-0 grand-total row); non-empty "
+    "output byte-identical (every real group has count >= 1); verified "
+    "locally at sf0.001/0.01/0.1 and BOUND on the empty corpus "
+    "(tests/test_empty_corpus_audit.py); window-resident next round"
+)
+_EMPTY_CONTRACT_CLOSURE = (
+    "closure-only exposure to the round-11 empty-input oracle edit in "
+    "its module (plans/relational.py / plans/analytics.py): own "
+    "SQL/function byte-identical this round; re-verified locally at "
+    "all three SFs and on the NULL, duplicate-key, and empty corpora "
+    "under final round-11 code"
+)
+
 TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
+    ("q_rollup_counts", _EMPTY_CONTRACT_CHANGED),
+    ("q_grouping_sets_sales", _EMPTY_CONTRACT_CHANGED),
+    ("q_approx_distinct_users", _EMPTY_CONTRACT_CLOSURE),
+    ("q_approx_percentiles", _EMPTY_CONTRACT_CLOSURE),
+    ("q_asof_last_error", _EMPTY_CONTRACT_CLOSURE),
+    ("q_distinct_users", _EMPTY_CONTRACT_CLOSURE),
+    ("q_order_rank_distribution", _EMPTY_CONTRACT_CLOSURE),
+    ("q_pivot_daily", _EMPTY_CONTRACT_CLOSURE),
+    ("q_price_percentiles", _EMPTY_CONTRACT_CLOSURE),
+    ("q_user_segments", _EMPTY_CONTRACT_CLOSURE),
+    ("q_user_top_orders", _EMPTY_CONTRACT_CLOSURE),
+    ("q_value_stats", _EMPTY_CONTRACT_CLOSURE),
+    ("tpch_q1_pricing_summary", _EMPTY_CONTRACT_CLOSURE),
+    ("tpch_q3_shipping_priority", _EMPTY_CONTRACT_CLOSURE),
+    ("tpch_q4_order_priority", _EMPTY_CONTRACT_CLOSURE),
+    ("tpch_q5_local_supplier_volume", _EMPTY_CONTRACT_CLOSURE),
+    ("tpch_q12_late_shipments", _EMPTY_CONTRACT_CLOSURE),
     (
         "q_value_stats_sane",
         "new this round (extreme-boundary probe follow-through, "

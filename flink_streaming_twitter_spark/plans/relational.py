@@ -215,6 +215,14 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        count(*) AS n
 FROM (SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day FROM events)
 GROUP BY ROLLUP(event_type, day)
+-- empty-input contract (round 11, caught by the empty-corpus audit):
+-- Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on zero input rows
+-- (the () super-aggregate is expanded into an ordinary groupBy, so no
+-- groups exist), while standard SQL — and DuckDB — emit the
+-- grand-total row with count 0. The engine's contract is Spark's
+-- no-data-no-rows cold-start semantics; every REAL group has n >= 1,
+-- so this filter is exact on non-empty input
+HAVING count(*) > 0
 """,
     "q_user_top_orders": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
