@@ -2,7 +2,7 @@
 the run-to-run distribution probe used to separate plan regressions from
 JIT/co-tenancy noise in the shared-JVM bench (SCALE.md).
 
-Rationale: the full bench runs all 81 queries in one long-lived JVM, so a
+Rationale: the full bench runs every queries() entry in one long-lived JVM, so a
 single entry's draw folds in C2 compilation of whichever generated loops
 happen to be cold plus GC debt from the preceding queries. Rerunning the
 entry alone, several passes, in its own session gives the distribution:
