@@ -97,6 +97,12 @@ def one_row_per_key(df: DataFrame, key_col: str, content_col: str) -> DataFrame:
     needs no sort — at 100 TB this is a map-side-partial agg over
     (key, md5) pairs, not a window function.
 
+    Callers pass TWO-column frames (key, content) — the tie-break is
+    md5(content) alone, so rows with equal content but differing extra
+    columns would resolve nondeterministically between those extras.
+    Keep any additional columns out of the frame (join them back on the
+    key afterwards) rather than widening the struct here.
+
     Applied at every KEY-evidence ingest point: the shingle tiers
     (doc_shingle_sets), SimHash (simhash_fingerprints — before it, a
     conflict vote-merged two texts into a chimera fingerprint, with

@@ -22,65 +22,65 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # retune the tuple, the exemptions, and the anchor — with per-round
 # history living in git, not in identifier suffixes.
 VERIFIED_WINDOW: tuple[str, ...] = (
-    # 1. the whole 31-entry r10 tail (newest driver-green: round 9) —
-    #    the sampling/pipeline block (dedup_exact, the two pipeline
-    #    compositions, hash split/cap/mix, both normalize passes —
-    #    also discharging their r10 closure-only exemptions), the
-    #    non-window relational/analytics block, and TPC-H
-    #    q2/q6-q11/q13-q22. With round 10 having covered the other 31
-    #    and the head/changed blocks, this completes a full two-round
-    #    sweep again: every entry's newest driver verdict is r10 or
-    #    r11.
-    "dedup_exact",
-    "q_corpus_pipeline",
-    "q_incremental_dedup",
-    "q_hash_split_counts",
-    "q_cap_per_source",
-    "q_cap_per_source_salted",
-    "q_mix_weighted",
-    "q_text_normalize",
-    "q_text_normalize_nfc",
-    "top_customers",
-    "q_inactive_customers",
-    "q_cube_order_stats",
-    "q_order_deltas",
-    "q_trailing_30d_spend",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # 2. remaining 7 slots: changed-files-first. Round 11 adds the
-    #    char-shingle near-dup tier (VERDICT r10 item 2) and the
-    #    ADVICE-r10 lowered-text word prefilter, changing
-    #    operators/dedup.py + plans/dedup.py — so the NEW entry plus
-    #    the six existing dedup entries whose RESULTS ride
-    #    doc_shingle_sets take every remaining slot (dedup_exact, the
-    #    seventh member of the affected closure with a shingle-free
-    #    path, is window-resident in block 1; dedup_simhash and
-    #    dedup_clusters_star carry the two closure-grade exemptions
-    #    below). No stalest-green slots remain — changed-files-first
-    #    outranks stalest-green, and after this window the stalest
-    #    green verdict anywhere is round 10.
-    "dedup_minhash_lsh_char",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_60bit",
-    "dedup_lsh_exact",
+    # Round 12: rotation-debt discharge. The window absorbs ALL 34
+    # entries whose newest driver verdict predates round 11 — which by
+    # construction includes the six the r11 ledger deferred
+    # (q_value_stats_sane, q_value_by_window_sane,
+    # multimodal_decode_stats, dedup_simhash, q_rollup_counts,
+    # q_grouping_sets_sales) — plus the NEW multi-probe LSH params
+    # variant (changed-files-first: plans/similarity.py gains the entry,
+    # so its whole module family is window-resident), leaving 3 slots
+    # for r11-green fillers. After this window every entry's newest
+    # driver verdict is r11 or r12 and TAIL_EXEMPTIONS is empty.
+    # 1. the changed/new block: the six r11-deferred entries + the new
+    #    probe variant + its module siblings (all six existing
+    #    similarity entries were r11-stale anyway).
+    "q_value_stats_sane",
+    "q_value_by_window_sane",
+    "multimodal_decode_stats",
+    "dedup_simhash",
+    "q_rollup_counts",
+    "q_grouping_sets_sales",
+    "similarity_lsh_topk_probe3",
+    "q_embedding_norms",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    # 2. the remaining 22 r11-stale entries (newest driver verdict:
+    #    round 10) — the misc/textops/relational/analytics tail and
+    #    TPC-H q1/q3/q4/q5/q12, plus dedup_clusters_star.
+    "events_sessionize",
+    "multimodal_meta",
+    "q_range_join_error_impact",
+    "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "doc_fingerprint",
+    "q_asof_last_error",
+    "q_approx_distinct_users",
+    "q_value_stats",
+    "q_user_top_orders",
+    "q_user_segments",
+    "q_pivot_daily",
+    "q_distinct_users",
+    "q_order_rank_distribution",
+    "q_price_percentiles",
+    "q_approx_percentiles",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q12_late_shipments",
+    "dedup_clusters_star",
+    # 3. fillers (r11-green, freshest-but-load-bearing): dedup_clusters
+    #    is the suite's heaviest entry and under a per-round cost track
+    #    (VERDICT r11 item 3), dedup_minhash_lsh_char is the newest
+    #    tier on its second verdict, q_corpus_pipeline is the widest
+    #    composition.
     "dedup_clusters",
+    "dedup_minhash_lsh_char",
+    "q_corpus_pipeline",
 )
 
 # Entries whose implementing-module closure changed since DIFF_ANCHOR
@@ -92,131 +92,18 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and VERIFIED_WINDOW.
-# Shared reasons for the empty-input-contract oracle edit (round 11):
-# three super-aggregate oracles (ROLLUP/CUBE/GROUPING SETS) gained a
-# one-line HAVING count(*) > 0 so they mirror Spark's no-data-no-rows
-# cold-start semantics (standard SQL emits the () grand-total row with
-# count 0 on EMPTY input; every real group has count >= 1, so the
-# filter is exact on non-empty data). The edit lives inside two large
-# oracle modules, so module-granular rotation accounting marks every
-# sibling entry affected.
-_EMPTY_CONTRACT_CHANGED = (
-    "oracle gained the empty-input HAVING filter (round 11 empty-corpus "
-    "audit: Spark's super-aggregates emit zero rows on zero input rows "
-    "where standard SQL emits a count-0 grand-total row); non-empty "
-    "output byte-identical (every real group has count >= 1); verified "
-    "locally at sf0.001/0.01/0.1 and BOUND on the empty corpus "
-    "(tests/test_empty_corpus_audit.py); window-resident next round"
-)
-_EMPTY_CONTRACT_CLOSURE = (
-    "closure-only exposure to the round-11 empty-input oracle edit in "
-    "its module (plans/relational.py / plans/analytics.py): own "
-    "SQL/function byte-identical this round; re-verified locally at "
-    "all three SFs and on the NULL, duplicate-key, and empty corpora "
-    "under final round-11 code"
-)
+# Round 12: EMPTY. Every entry the r11 ledger deferred is
+# window-resident above, and this round's semantic diff touches only
+# plans/similarity.py (the new probe variant), whose entire entry
+# family is window-resident — so no entry is affected-but-unverified
+# and the ledger returns to zero (VERDICT r11 item 2).
+TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = ()
 
-TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
-    ("q_rollup_counts", _EMPTY_CONTRACT_CHANGED),
-    ("q_grouping_sets_sales", _EMPTY_CONTRACT_CHANGED),
-    ("q_approx_distinct_users", _EMPTY_CONTRACT_CLOSURE),
-    ("q_approx_percentiles", _EMPTY_CONTRACT_CLOSURE),
-    ("q_asof_last_error", _EMPTY_CONTRACT_CLOSURE),
-    ("q_distinct_users", _EMPTY_CONTRACT_CLOSURE),
-    ("q_order_rank_distribution", _EMPTY_CONTRACT_CLOSURE),
-    ("q_pivot_daily", _EMPTY_CONTRACT_CLOSURE),
-    ("q_price_percentiles", _EMPTY_CONTRACT_CLOSURE),
-    ("q_user_segments", _EMPTY_CONTRACT_CLOSURE),
-    ("q_user_top_orders", _EMPTY_CONTRACT_CLOSURE),
-    ("q_value_stats", _EMPTY_CONTRACT_CLOSURE),
-    ("tpch_q1_pricing_summary", _EMPTY_CONTRACT_CLOSURE),
-    ("tpch_q3_shipping_priority", _EMPTY_CONTRACT_CLOSURE),
-    ("tpch_q4_order_priority", _EMPTY_CONTRACT_CLOSURE),
-    ("tpch_q5_local_supplier_volume", _EMPTY_CONTRACT_CLOSURE),
-    ("tpch_q12_late_shipments", _EMPTY_CONTRACT_CLOSURE),
-    (
-        "q_value_stats_sane",
-        "new this round (extreme-boundary probe follow-through, "
-        "plans/sanity.py): the 38 window slots are committed to the "
-        "VERDICT-r10-mandated 31-entry r10 tail plus the char-tier "
-        "changed closure, and displacing either would violate "
-        "changed-files-first or the mandate; verified locally at "
-        "sf0.001/0.01/0.1, on the NULL corpus, and BOUND on the "
-        "extreme corpus (tests/test_extreme_corpus_audit.py); "
-        "window-resident next round",
-    ),
-    (
-        "q_value_by_window_sane",
-        "new this round — same rationale and local verification as "
-        "q_value_stats_sane (the two sanity-bound params variants "
-        "share plans/sanity.py); window-resident next round",
-    ),
-    (
-        "multimodal_decode_stats",
-        "genuinely changed late in round 11 (duplicate-key contract: "
-        "one payload per media KEY resolved via one_row_per_key before "
-        "the decode kernel — a re-delivered row used to decode twice "
-        "AND multiply through the decoded↔frame-sample join; oracle's "
-        "payload CTE now arg_min-grouped identically): the window was "
-        "fixed at round start per the mandate; verified locally at "
-        "sf0.001/0.01/0.1, on the NULL corpus, and BOUND on the "
-        "duplicate-key corpus (tests/test_dupkey_corpus_audit.py); "
-        "window-resident next round",
-    ),
-    (
-        "events_sessionize",
-        "closure-only exposure to the round-11 plans/misc.py decode "
-        "edit: its own function and oracle are byte-identical this "
-        "round; driver-green r10, re-verified locally at all three SFs "
-        "and on the NULL and duplicate-key corpora under final code",
-    ),
-    (
-        "multimodal_meta",
-        "closure-only exposure to the round-11 plans/misc.py decode "
-        "edit: its own per-row function/oracle are byte-identical this "
-        "round (metadata is an observation-level view, documented); "
-        "driver-green r10, re-verified locally at all three SFs and on "
-        "the NULL and duplicate-key corpora under final code",
-    ),
-    (
-        "q_range_join_error_impact",
-        "closure-only exposure to the round-11 plans/misc.py decode "
-        "edit: its own function and oracle are byte-identical this "
-        "round; driver-green r10, re-verified locally at all three SFs "
-        "and on the NULL and duplicate-key corpora under final code",
-    ),
-    (
-        "dedup_simhash",
-        "genuinely changed late in round 11 (duplicate-key contract, "
-        "second pass: the fingerprint belongs to the KEY — "
-        "one_row_per_key before tokenization, oracle tok CTE arg_min-"
-        "grouped identically; before it a conflicting re-delivery "
-        "vote-merged two texts into a chimera fingerprint, with Spark "
-        "counting a shared token twice where the oracle's DISTINCT "
-        "counted once): the window was fixed at round start per the "
-        "mandate; gate corpora carry no duplicate keys so gate outputs "
-        "are byte-identical; verified locally at sf0.001/0.01/0.1, on "
-        "the NULL corpus, and BOUND on the duplicate-key corpus "
-        "(winner-not-chimera pinned); window-resident next round",
-    ),
-    (
-        "dedup_clusters_star",
-        "rides the same word-shingle evidence as window-resident "
-        "dedup_clusters and must reproduce its labels exactly (shared "
-        "oracle SQL); the round-11 word-tier changes (lowered-text "
-        "prefilter, one_row_per_key resolution, DISTINCT node seed) are "
-        "inert on the gate corpora (no lowercase-only \\w chars, no "
-        "duplicate keys there) and it took the same DISTINCT-seed fix "
-        "as its window-resident twin; driver-green r10, re-verified "
-        "locally at sf0.001/0.01/0.1 and on the NULL and duplicate-key "
-        "corpora under final round-11 code",
-    ),
-)
 
 # The previous round's verdict commit — the diff anchor the contract
 # test measures "changed this round" against. Update each round when the
 # new VERDICT lands.
-DIFF_ANCHOR = "66adcb1e56199021c768aa2e1583919cdf84c92e"
+DIFF_ANCHOR = "ff8f50266b9a0600787281eb062311026b9960c4"
 
 
 def extension_queries() -> dict[str, QueryFn]:
@@ -248,6 +135,7 @@ def extension_queries() -> dict[str, QueryFn]:
         TPCH_EXTRA_QUERIES,
         DEDUP_QUERIES,
         PIPELINE_QUERIES,
+        SANITY_QUERIES,
     ):
         pool.update(fam)
     for name in VERIFIED_WINDOW:

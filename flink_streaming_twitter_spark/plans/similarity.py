@@ -33,6 +33,34 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM)
 
 
+# Probe count for the multi-probe gate entry. Deliberately NOT in
+# plans/params.py: params sits in the import closure of every plan
+# module, so widening it would mark the whole surface rotation-affected
+# for a constant only this module reads.
+LSH_N_PROBES = 3
+
+
+def similarity_lsh_topk_probe3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (n_probes=3) — the recall dial at scale
+    (operators/similarity.py::lsh_probe_buckets): each query probes its
+    own bucket plus the two buckets reached by flipping its
+    lowest-|margin| hyperplane signs, so recall rises while per-query
+    cost stays probes x corpus/2^planes and the corpus index is
+    UNCHANGED (re-hashing with more planes is the expensive dial).
+    Params variant of similarity_lsh_topk; the oracle reproduces the
+    probe-bucket expansion (base + two min-margin flips, ties by plane
+    index) in SQL."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return lsh_topk(
+        corpus,
+        queries,
+        P.ANN_TOP_K,
+        num_planes=P.LSH_NUM_PLANES,
+        dim=EMB_DIM,
+        n_probes=LSH_N_PROBES,
+    )
+
+
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_queries(spark, sf_dir)
     return ivf_topk(
@@ -146,6 +174,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_norms": q_embedding_norms,
     "similarity_brute_topk": similarity_brute_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_lsh_topk_probe3": similarity_lsh_topk_probe3,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -225,6 +254,76 @@ q AS (SELECT vec_id AS q_id, embedding, bucket AS q_bucket FROM b WHERE vec_id <
 sims AS (
   SELECT q.q_id, c.vec_id, {_COS} AS sim
   FROM b c JOIN q ON c.bucket = q.q_bucket
+  WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= {P.ANN_TOP_K}
+"""
+
+
+def _dot_expr(alias: str, j: int) -> str:
+    return (
+        f"round(list_dot_product(CAST({alias}.embedding AS DOUBLE[]), "
+        f"{_plane_literal(j)}), 6)"
+    )
+
+
+_COS_QVEC = """
+round(
+  list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))
+  / (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+  6)
+"""
+
+
+def _lsh_probe_sql(n_probes: int = LSH_N_PROBES) -> str:
+    """Multi-probe twin of _lsh_sql: per query expose the 8 rounded
+    plane dots (the same doubles the Spark accumulator rounds), derive
+    the base bucket from their signs, rank planes by (|dot|, plane) and
+    flip the n_probes-1 smallest — base XOR 2^j — then candidate-join
+    every probed bucket. The three probed buckets are pairwise distinct
+    and each corpus vector owns ONE bucket, so a (q_id, vec_id) pair
+    appears at most once on both engines and the re-rank needs no
+    dedup, exactly like the Spark side."""
+    planes = range(P.LSH_NUM_PLANES)
+    dots = ",\n         ".join(f"{_dot_expr('scorable', j)} AS d{j}" for j in planes)
+    base = " + ".join(f"CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END" for j in planes)
+    margins = "\n  UNION ALL ".join(
+        f"SELECT q_id, {j} AS j, abs(d{j}) AS m FROM qb" for j in planes
+    )
+    return f"""
+WITH {_SCORABLE},
+b AS (
+  SELECT vec_id, embedding, {_bucket_expr('scorable')} AS bucket FROM scorable
+),
+qd AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         {dots}
+  FROM scorable WHERE vec_id < {P.ANN_NUM_QUERIES}
+),
+qb AS (SELECT *, ({base}) AS base FROM qd),
+margins AS (
+  {margins}
+),
+flips AS (
+  SELECT q_id, j FROM (
+    SELECT q_id, j, row_number() OVER (PARTITION BY q_id ORDER BY m ASC, j ASC) AS fr
+    FROM margins
+  ) WHERE fr <= {n_probes - 1}
+),
+qbuckets AS (
+  SELECT q_id, q_vec, base AS q_bucket FROM qb
+  UNION ALL
+  SELECT qb.q_id, qb.q_vec, xor(qb.base, 1 << f.j) AS q_bucket
+  FROM qb JOIN flips f USING (q_id)
+),
+sims AS (
+  SELECT q.q_id, c.vec_id, {_COS_QVEC} AS sim
+  FROM b c JOIN qbuckets q ON c.bucket = q.q_bucket
   WHERE c.vec_id <> q.q_id
 ),
 ranked AS (
@@ -335,6 +434,7 @@ def similarity_oracles() -> dict[str, str]:
         "q_embedding_norms": EMBEDDING_NORMS_SQL,
         "similarity_brute_topk": BRUTE_SQL,
         "similarity_lsh_topk": _lsh_sql(),
+        "similarity_lsh_topk_probe3": _lsh_probe_sql(),
         "similarity_ivf_topk": _ivf_sql(),
         "dedup_embedding_cosine": _emb_cosine_dedup_sql(),
     }

@@ -117,14 +117,16 @@ def test_event_time_bound_binds(spark, extreme_corpus):
     assert base_hi >= hi_bound, "corpus must genuinely carry the poison row"
 
 
-@pytest.mark.parametrize(
-    ("name", "exc_substring"),
-    [
-        ("q_value_stats", "STDDEV_SAMP is out of range"),
-        ("q_value_by_window", "Could not cast"),
-    ],
-)
-def test_base_oracle_errors_on_extreme_corpus(duck_views, name, exc_substring):
+# ADVICE r11: match a family of overflow/cast wordings, not one exact
+# message — DuckDB rephrases these across releases, and the pin's
+# semantic content is "the base oracle ERRORS on this corpus", not the
+# prose it errors with (observed wordings: "STDDEV_SAMP is out of
+# range", "Could not cast", generic "overflow"/"out of range").
+_NUMERIC_BLOWUP = "out of range|[Cc]ould not cast|[Oo]verflow"
+
+
+@pytest.mark.parametrize("name", ["q_value_stats", "q_value_by_window"])
+def test_base_oracle_errors_on_extreme_corpus(duck_views, name):
     """The probe's red rows, pinned: on this corpus the BASE oracles
     error inside DuckDB (second-moment overflow at 1e300; DECIMAL(18,6)
     cast out-of-range at 1e30) — exactly why the sanity bounds exist.
@@ -132,5 +134,5 @@ def test_base_oracle_errors_on_extreme_corpus(duck_views, name, exc_substring):
     corpus no longer proves the variants load-bearing."""
     import __spark_entry__ as entry_mod
 
-    with pytest.raises(Exception, match=exc_substring):
+    with pytest.raises(Exception, match=_NUMERIC_BLOWUP):
         duck_views.execute(entry_mod.oracle_sql()[name]).fetch_arrow_table()

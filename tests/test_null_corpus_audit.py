@@ -54,9 +54,10 @@ representative per windowed-oracle family:
 
 Full-surface sweeps stay available as the manual commands (README
 "Edge-input contracts"): `python tools/make_null_corpus.py` then
-`python tools/check_oracle.py /tmp/sfnull` → expect 84/84 (round 11
-added dedup_minhash_lsh_char at 82 and the two sanity-bound variants
-at 84; 81 at round 10).
+`python tools/check_oracle.py /tmp/sfnull` → expect 85/85 (round 12
+added similarity_lsh_topk_probe3 — its row here binds the unscorable
+contract on the multi-probe path; round 11 added dedup_minhash_lsh_char
+at 82 and the two sanity-bound variants at 84; 81 at round 10).
 """
 
 from __future__ import annotations
@@ -79,6 +80,7 @@ def _load_tool(name: str):
 AUDIT_ENTRIES = [
     "similarity_brute_topk",
     "similarity_lsh_topk",
+    "similarity_lsh_topk_probe3",
     "similarity_ivf_topk",
     "dedup_embedding_cosine",
     "q_order_deltas",

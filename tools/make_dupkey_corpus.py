@@ -59,8 +59,12 @@ COPY (
   -- retry: min doc_id re-delivered byte-identically
   UNION ALL SELECT * FROM '{src}/documents.parquet'
             WHERE doc_id = (SELECT min(doc_id) FROM '{src}/documents.parquet')
-  -- conflict: min+1 doc_id re-delivered with different text
-  UNION ALL SELECT (SELECT min(doc_id)+1 FROM '{src}/documents.parquet'),
+  -- conflict: the second-lowest EXISTING doc_id re-delivered with
+  -- different text (ORDER BY/OFFSET, not min+1: on a src with
+  -- non-contiguous ids an arithmetic key silently becomes a fresh
+  -- singleton and the conflict scenario goes unexercised)
+  UNION ALL SELECT (SELECT doc_id FROM '{src}/documents.parquet'
+                    ORDER BY doc_id LIMIT 1 OFFSET 1),
             '{CONFLICT_TEXT}', 'en', 'web', {len(CONFLICT_TEXT)}
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
@@ -68,7 +72,8 @@ COPY (
   SELECT * FROM '{src}/events.parquet'
   UNION ALL SELECT * FROM '{src}/events.parquet'
             WHERE event_id = (SELECT min(event_id) FROM '{src}/events.parquet')
-  UNION ALL SELECT (SELECT min(event_id)+1 FROM '{src}/events.parquet'),
+  UNION ALL SELECT (SELECT event_id FROM '{src}/events.parquet'
+                    ORDER BY event_id LIMIT 1 OFFSET 1),
             (SELECT min(ts) FROM '{src}/events.parquet'), 7, 'click', 99.5, '{{}}'
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
     (dim,) = con.execute(
@@ -78,12 +83,15 @@ COPY (
 COPY (
   SELECT * FROM '{src}/embeddings.parquet'
   -- retry: identical vector re-delivered under its vec_id
+  -- (conflict below picks the 8th EXISTING vec_id — past the
+  -- ANN query ids — by ORDER BY/OFFSET for the same reason)
   UNION ALL SELECT * FROM '{src}/embeddings.parquet'
             WHERE vec_id = (SELECT min(vec_id) FROM '{src}/embeddings.parquet')
   -- conflict: an existing non-query vec_id gains a DIFFERENT vector —
   -- probed cross-engine-consistent (per-row on both sides) across all
   -- five embedding entries; kept here so that stays audited
-  UNION ALL SELECT (SELECT min(vec_id)+7 FROM '{src}/embeddings.parquet'),
+  UNION ALL SELECT (SELECT vec_id FROM '{src}/embeddings.parquet'
+                    ORDER BY vec_id LIMIT 1 OFFSET 7),
             list_transform(range({dim}), x -> 0.25::FLOAT), 1
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
     con.execute(f"""

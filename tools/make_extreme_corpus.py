@@ -90,7 +90,7 @@ COPY (
     quarantined = sum(1 for r in EXTREME_EVENT_ROWS if r[5])
     print(
         f"{dst}: events {n} rows (+{len(EXTREME_EVENT_ROWS)} extreme, "
-        f"{quarantined} quarantine-bound, {n} dated incl. pre-1970/year-9999)"
+        f"{quarantined} quarantine-bound, {n_ts} dated incl. pre-1970/year-9999)"
     )
 
 
