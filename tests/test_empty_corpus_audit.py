@@ -13,7 +13,8 @@ always-interesting subset — the three contract carriers plus one
 representative per empty-input answer shape (ungrouped aggregate's
 single count-0 row, empty window/top-k/percentile/pivot outputs, the
 sketch-flag coalesce, a dedup tier, an ANN tier, a streaming drain) —
-and the full 84-entry sweep under SPARK_GRAFT_FULL_EMPTY_AUDIT=1.
+and the full-surface sweep (every queries() entry) under
+SPARK_GRAFT_FULL_EMPTY_AUDIT=1.
 """
 
 from __future__ import annotations
