@@ -288,12 +288,20 @@ def _lsh_probe_sql(n_probes: int = LSH_N_PROBES) -> str:
     every probed bucket. The three probed buckets are pairwise distinct
     and each corpus vector owns ONE bucket, so a (q_id, vec_id) pair
     appears at most once on both engines and the re-rank needs no
-    dedup, exactly like the Spark side."""
+    dedup, exactly like the Spark side.
+
+    The flip ranking partitions by a synthetic ROW id, not by q_id:
+    Spark's flip set is a per-ROW array_sort, so on an at-least-once
+    corpus where a query vec_id is re-delivered, partitioning by q_id
+    would merge the copies' margin lists and rank the smallest plane
+    twice — probing a duplicate bucket and DROPPING the second-smallest
+    flip (caught by the round-12 dupkey-corpus sweep: the merged
+    partition lost one probe bucket and with it a true neighbor)."""
     planes = range(P.LSH_NUM_PLANES)
     dots = ",\n         ".join(f"{_dot_expr('scorable', j)} AS d{j}" for j in planes)
     base = " + ".join(f"CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END" for j in planes)
     margins = "\n  UNION ALL ".join(
-        f"SELECT q_id, {j} AS j, abs(d{j}) AS m FROM qb" for j in planes
+        f"SELECT rid, {j} AS j, abs(d{j}) AS m FROM qb" for j in planes
     )
     return f"""
 WITH {_SCORABLE},
@@ -302,6 +310,7 @@ b AS (
 ),
 qd AS (
   SELECT vec_id AS q_id, embedding AS q_vec,
+         row_number() OVER () AS rid,
          {dots}
   FROM scorable WHERE vec_id < {P.ANN_NUM_QUERIES}
 ),
@@ -310,8 +319,8 @@ margins AS (
   {margins}
 ),
 flips AS (
-  SELECT q_id, j FROM (
-    SELECT q_id, j, row_number() OVER (PARTITION BY q_id ORDER BY m ASC, j ASC) AS fr
+  SELECT rid, j FROM (
+    SELECT rid, j, row_number() OVER (PARTITION BY rid ORDER BY m ASC, j ASC) AS fr
     FROM margins
   ) WHERE fr <= {n_probes - 1}
 ),
@@ -319,7 +328,7 @@ qbuckets AS (
   SELECT q_id, q_vec, base AS q_bucket FROM qb
   UNION ALL
   SELECT qb.q_id, qb.q_vec, xor(qb.base, 1 << f.j) AS q_bucket
-  FROM qb JOIN flips f USING (q_id)
+  FROM qb JOIN flips f USING (rid)
 ),
 sims AS (
   SELECT q.q_id, c.vec_id, {_COS_QVEC} AS sim

@@ -55,6 +55,12 @@ ROW_IDENTITY_REPS = [
     "dedup_exact",          # dup_cnt counts content observations
     "multimodal_meta",      # observation-level view
     "similarity_brute_topk",  # retry AND conflicting-vector vec_id dups
+    # multi-probe rep: the flip set is per-ROW (array_sort inside the
+    # row), so a re-delivered query vec_id must NOT merge margin lists —
+    # the oracle's rid-partitioned flip ranking exists for exactly this
+    # corpus (a q_id-partitioned ranking probed one bucket twice and
+    # dropped the second-smallest flip; caught by the r12 sweep here)
+    "similarity_lsh_topk_probe3",
     "dedup_embedding_cosine",  # same, through the pair-stream modality
     "q_value_stats",        # events rows are facts
     "q_user_top_orders",    # duplicated order row ranks identically
