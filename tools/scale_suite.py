@@ -327,6 +327,8 @@ def ann_x100(spark) -> None:
          lambda d: ivf_auto(d), both, PASSES),
         ("similarity_lsh_topk", {},
          lambda d: PS.similarity_lsh_topk(spark, d), both, PASSES),
+        ("similarity_lsh_topk_probe3", {},
+         lambda d: PS.similarity_lsh_topk_probe3(spark, d), both, PASSES),
         ("similarity_brute_topk", {},
          lambda d: PS.similarity_brute_topk(spark, d), both, PASSES),
     )
@@ -343,6 +345,58 @@ def ann_x100(spark) -> None:
         if "x100" in row and row["sf0.1"] > 0:
             row["factor"] = round(row["x100"] / row["sf0.1"], 2)
         emit("ann_x100", **row)
+
+
+def ann_recall_x100(spark) -> None:
+    """Recall@k of each approximate ANN tier against the brute-force
+    truth at sf0.1 and x100 — the measured side of the recall dial the
+    multi-probe entry exists for. On the x100 corpus true neighbors are
+    planted exact-duplicate vectors (build_x100 replicates the corpus),
+    so recall there is the meaningful figure; on the sf0.1 corpus
+    neighbor structure is noise-level cosine on near-orthogonal
+    synthetics, where probe-set choice dominates and sub-1.0 recall is
+    expected, not a defect (operators/similarity.py ivf_topk docstring
+    records the same caveat for IVF)."""
+    from flink_streaming_twitter_spark.operators.similarity import ivf_topk
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans import similarity as PS
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    def ivf_auto(d):
+        emb = load_table(spark, d, "embeddings")
+        return ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < P.ANN_NUM_QUERIES),
+            P.ANN_TOP_K,
+            nprobe=P.IVF_NPROBE,
+            seed_mod=None,
+            seed_rem=P.IVF_SEED_REM,
+        )
+
+    tiers = (
+        ("similarity_lsh_topk", lambda d: PS.similarity_lsh_topk(spark, d)),
+        ("similarity_lsh_topk_probe3",
+         lambda d: PS.similarity_lsh_topk_probe3(spark, d)),
+        ("similarity_ivf_topk_auto", ivf_auto),
+    )
+    for tag, d in (("sf0.1", SF01), ("x100", X100)):
+        truth = PS.similarity_brute_topk(spark, d).select("q_id", "vec_id").persist()
+        n_truth = truth.count()
+        for name, build in tiers:
+            hits = (
+                build(d).select("q_id", "vec_id").join(truth, ["q_id", "vec_id"]).count()
+            )
+            emit(
+                "ann_recall_x100",
+                bench=name,
+                tag=tag,
+                k=P.ANN_TOP_K,
+                truth_rows=n_truth,
+                hits=hits,
+                recall=round(hits / n_truth, 3),
+            )
+        truth.unpersist()
+        spark.catalog.clearCache()
 
 
 def streams_x100(spark) -> None:
@@ -567,6 +621,7 @@ MANIFEST: dict[str, tuple] = {
     "streams_x10": (streams_x10, (f"{X10}/events", f"{X10}/documents"), "five multi-batch drains + multimodal kernel at 10x"),
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
+    "ann_recall_x100": (ann_recall_x100, (f"{X100}/embeddings",), "recall@k of LSH (1/3 probes) and auto-IVF vs brute truth at sf0.1 + 100x"),
     "streams_x100": (streams_x100, (f"{X100}/events",), "heaviest drains at 100x events"),
     "sanity_x100": (sanity_x100, (f"{X100}/events",), "sanity-bound variants vs base twins at sf0.1 + 100x"),
     "recall_denominator_x100": (recall_denominator_x100, (f"{X100}/documents",), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
@@ -575,7 +630,7 @@ MANIFEST: dict[str, tuple] = {
 
 GROUPS = {
     "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
-    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "streams_x100",
+    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "ann_recall_x100", "streams_x100",
                  "sanity_x100", "recall_denominator_x100", "lsh_bucket_cap_x100"),
 }
 
