@@ -33,8 +33,8 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     # for r11-green fillers. After this window every entry's newest
     # driver verdict is r11 or r12 and TAIL_EXEMPTIONS is empty.
     # 1. the changed/new block: the six r11-deferred entries + the new
-    #    probe variant + its module siblings (all six existing
-    #    similarity entries were r11-stale anyway).
+    #    probe variant + its module siblings (all five pre-existing
+    #    similarity entries were r11-stale anyway): 6 + 1 + 5 = 12.
     "q_value_stats_sane",
     "q_value_by_window_sane",
     "multimodal_decode_stats",

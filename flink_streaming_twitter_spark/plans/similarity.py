@@ -308,7 +308,14 @@ WITH {_SCORABLE},
 b AS (
   SELECT vec_id, embedding, {_bucket_expr('scorable')} AS bucket FROM scorable
 ),
-qd AS (
+qd AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing, same reason as _SCORABLE's nonnull
+  -- CTE: DuckDB inlines multiply-referenced CTEs, and an inlined
+  -- row_number() OVER () re-evaluates per reference site with no
+  -- guaranteed shared enumeration order — flips and qbuckets could
+  -- then disagree on which row is rid 1 and attach one query's flip
+  -- planes to another's base bucket. Materializing computes rid once
+  -- (and the 8 dots once instead of per margins-UNION branch).
   SELECT vec_id AS q_id, embedding AS q_vec,
          row_number() OVER () AS rid,
          {dots}

@@ -120,6 +120,8 @@ def variant_b(spark, sf_dir: str):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if passes < 1:
+        sys.exit("passes must be >= 1 (pass 0 carries the equality assertion)")
     load_1m = os.getloadavg()[0]
 
     spark = build_session("ab-shared-lineage", master="local[32]")
@@ -128,7 +130,13 @@ def main() -> None:
     def run_a() -> tuple[float, tuple[int, int]]:
         t0 = time.perf_counter()
         fa = _result_fingerprint(variant_a(spark, sf_dir))
-        return round(time.perf_counter() - t0, 3), fa
+        dt = round(time.perf_counter() - t0, 3)
+        # the entry persists its signature table internally with no
+        # unpersist hook — clear it so A does not accumulate orphaned
+        # cached blocks across passes that B (which unpersists its own
+        # tables) never pays for
+        spark.catalog.clearCache()
+        return dt, fa
 
     def run_b() -> tuple[float, tuple[int, int]]:
         t0 = time.perf_counter()
@@ -137,6 +145,7 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         for p in persisted:
             p.unpersist()
+        spark.catalog.clearCache()
         return dt, fb
 
     times_a: list[float] = []

@@ -33,7 +33,7 @@ counting a shared token twice where the oracle's DISTINCT counted
 once.
 
     python tools/make_dupkey_corpus.py           # sf0.001 -> /tmp/sfdup
-    python tools/check_oracle.py /tmp/sfdup      # expect 84/84 OK
+    python tools/check_oracle.py /tmp/sfdup      # expect all entries OK (85 as of round 12)
 """
 
 from __future__ import annotations
