@@ -33,6 +33,73 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _cpu_sample() -> tuple[float, int, int] | None:
+    """(wall seconds, machine busy ticks, own-process-tree ticks) — the
+    raw ingredients of the direct co-tenant CPU estimate (VERDICT r12
+    item 3: rounds 10-12 diagnosed contended draws via load-EMA
+    arithmetic; this measures the competing load directly). Machine
+    busy = /proc/stat cpu line minus idle+iowait, aggregated over all
+    cores in USER_HZ ticks. Own tree = utime+stime summed over every
+    /proc PID whose parent chain reaches this process (the Python
+    driver, the Spark JVM it forks, and any Python workers) — live
+    children included, which rusage(RUSAGE_CHILDREN) cannot do (it only
+    sees reaped children, and the JVM outlives every sample point).
+    Returns None where /proc is unavailable (non-Linux), and the caller
+    degrades to omitting the estimate."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+        pid_info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, ticks)
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:  # pid exited mid-scan
+                continue
+            # field 2 (comm) may itself contain spaces/parens —
+            # everything after the LAST ')' is fixed-position
+            rest = st.rsplit(")", 1)[1].split()
+            pid_info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        me = os.getpid()
+        own = 0
+        for pid, (ppid, ticks) in pid_info.items():
+            p, hops = pid, 0
+            while p not in (0, me) and hops < 64:
+                p = pid_info.get(p, (0, 0))[0]
+                hops += 1
+            if p == me or pid == me:
+                own += ticks
+        return time.perf_counter(), busy, own
+    except OSError:
+        return None
+
+
+def _cotenant_cores(samples: list[tuple[float, int, int]]) -> tuple[float, float] | None:
+    """(mean, peak) co-tenant cores from boundary samples: for each
+    interval, (Δmachine_busy − Δown_tree) / USER_HZ / Δwall = CPU cores
+    someone ELSE was running during that window. Peak is the max over
+    intervals ≥ 1 s of wall (shorter windows quantize USER_HZ noise into
+    fake cores); mean is end-to-end. Own-tree deltas can slightly
+    exceed machine deltas on near-idle windows (scan races: a worker
+    exits between the machine and per-pid reads) — clamp at 0."""
+    if len(samples) < 2:
+        return None
+    hz = os.sysconf("SC_CLK_TCK")
+    (w0, b0, o0), (w1, b1, o1) = samples[0], samples[-1]
+    if w1 - w0 <= 0:
+        return None
+    mean = max(0.0, ((b1 - b0) - (o1 - o0)) / hz / (w1 - w0))
+    peak = 0.0
+    for (pw, pb, po), (cw, cb, co) in zip(samples, samples[1:]):
+        if cw - pw >= 1.0:
+            peak = max(peak, max(0.0, ((cb - pb) - (co - po)) / hz / (cw - pw)))
+    return round(mean, 2), round(peak, 2)
+
+
 def _stream_qb_drain(spark) -> tuple[float, int]:
     """Streaming throughput probe: drain the sf events table through the
     Q-B pipeline (windowed counts, update mode, availableNow) into a
@@ -111,6 +178,11 @@ def main() -> None:
     # intermediates nothing unpersists) and an explicit GC between
     # passes flushes the cleanup debt at a known point.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # co-tenant CPU sampling at every entry boundary (VERDICT r12 item
+    # 3): a ~ms /proc scan per query, so the estimate covers exactly the
+    # timed region and a contended flag can be read against a DIRECT
+    # measurement of competing cores instead of load-EMA inference
+    cpu_samples = [s for s in (_cpu_sample(),) if s is not None]
     for _ in range(n_passes):
         for name, fn in qs.items():
             t0 = time.perf_counter()
@@ -118,6 +190,9 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
+            s = _cpu_sample()
+            if s is not None:
+                cpu_samples.append(s)
         spark.sparkContext._jvm.System.gc()
 
     drain_s, drain_batches = _stream_qb_drain(spark)
@@ -155,6 +230,13 @@ def main() -> None:
     # — it just carries its own caveat, plus a stderr warning.
     load_15m_end = round(os.getloadavg()[2], 2)
     contended = load_15m > 1.5 or load_15m_end > 2.5
+    # the direct signal the flag's load-EMA criteria approximate:
+    # cores OTHER processes burned during the timed region (mean over
+    # the whole run, peak over per-entry windows >= 1 s). The r12
+    # diagnosis inferred "~15 co-tenant cores" from EMA arithmetic;
+    # this field states it arithmetic-free. None on non-Linux /proc.
+    cot = _cotenant_cores(cpu_samples)
+    cotenant_mean, cotenant_peak = cot if cot is not None else (None, None)
     if contended:
         print(
             f"WARNING: contended draw (15-min load {load_15m} at start, "
@@ -181,6 +263,8 @@ def main() -> None:
         "load_15m": load_15m,
         "load_15m_end": load_15m_end,
         "contended": contended,
+        "cotenant_cpu_estimate": cotenant_mean,
+        "cotenant_cpu_peak": cotenant_peak,
         "pass_policy": f"min-over-{n_passes}",
     }
     # round 1+2's full stdout line got head-truncated in the driver's
@@ -226,6 +310,8 @@ def main() -> None:
         "load_15m": load_15m,
         "load_15m_end": out["load_15m_end"],
         "contended": contended,
+        "cotenant_cpu_estimate": cotenant_mean,
+        "cotenant_cpu_peak": cotenant_peak,
         "pass_policy": out["pass_policy"],
     }
     # compact line BOTH sides of the full record: whichever end of stdout

@@ -22,65 +22,58 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # retune the tuple, the exemptions, and the anchor — with per-round
 # history living in git, not in identifier suffixes.
 VERIFIED_WINDOW: tuple[str, ...] = (
-    # Round 12: rotation-debt discharge. The window absorbs ALL 34
-    # entries whose newest driver verdict predates round 11 — which by
-    # construction includes the six the r11 ledger deferred
-    # (q_value_stats_sane, q_value_by_window_sane,
-    # multimodal_decode_stats, dedup_simhash, q_rollup_counts,
-    # q_grouping_sets_sales) — plus the NEW multi-probe LSH params
-    # variant (changed-files-first: plans/similarity.py gains the entry,
-    # so its whole module family is window-resident), leaving 3 slots
-    # for r11-green fillers. After this window every entry's newest
-    # driver verdict is r11 or r12 and TAIL_EXEMPTIONS is empty.
-    # 1. the changed/new block: the six r11-deferred entries + the new
-    #    probe variant + its module siblings (all five pre-existing
-    #    similarity entries were r11-stale anyway): 6 + 1 + 5 = 12.
-    "q_value_stats_sane",
-    "q_value_by_window_sane",
-    "multimodal_decode_stats",
-    "dedup_simhash",
-    "q_rollup_counts",
-    "q_grouping_sets_sales",
-    "similarity_lsh_topk_probe3",
-    "q_embedding_norms",
-    "similarity_brute_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_embedding_cosine",
-    # 2. the remaining 22 r11-stale entries (newest driver verdict:
-    #    round 10) — the misc/textops/relational/analytics tail and
-    #    TPC-H q1/q3/q4/q5/q12, plus dedup_clusters_star.
-    "events_sessionize",
-    "multimodal_meta",
-    "q_range_join_error_impact",
-    "text_quality",
-    "text_langid",
-    "text_token_stats",
-    "doc_fingerprint",
-    "q_asof_last_error",
-    "q_approx_distinct_users",
-    "q_value_stats",
-    "q_user_top_orders",
-    "q_user_segments",
-    "q_pivot_daily",
-    "q_distinct_users",
-    "q_order_rank_distribution",
-    "q_price_percentiles",
-    "q_approx_percentiles",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q12_late_shipments",
-    "dedup_clusters_star",
-    # 3. fillers (r11-green, freshest-but-load-bearing): dedup_clusters
-    #    is the suite's heaviest entry and under a per-round cost track
-    #    (VERDICT r11 item 3), dedup_minhash_lsh_char is the newest
-    #    tier on its second verdict, q_corpus_pipeline is the widest
-    #    composition.
+    # Round 13: the two-round sweep rotation (VERDICT r12 item 1). The
+    # window absorbs ALL 35 entries whose newest driver verdict is r11
+    # (they sat out round 12's rotation-debt window), so after
+    # CORRECTNESS_r13 the union of r12 ∪ r13 driver verdicts covers the
+    # whole surface again. 3 slots remain for r12-green fillers.
+    # 1. the dedup family block (6 entries lacking an r12 verdict).
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_60bit",
+    "dedup_lsh_exact",
+    # 2. the corpus-pipeline block.
+    "q_incremental_dedup",
+    "q_hash_split_counts",
+    "q_cap_per_source",
+    "q_cap_per_source_salted",
+    "q_mix_weighted",
+    "q_text_normalize",
+    "q_text_normalize_nfc",
+    # 3. TPC-H q2/q6–q11/q13–q22.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # 4. the relational tail.
+    "top_customers",
+    "q_inactive_customers",
+    "q_cube_order_stats",
+    "q_order_deltas",
+    "q_trailing_30d_spend",
+    # 5. fillers (r12-green, load-bearing): dedup_clusters is the
+    #    suite's heaviest entry and under the standing per-round cost
+    #    track (VERDICT r12 item 5); dedup_minhash_lsh_char is the
+    #    evidence tier the round's planned char_union variant consumes;
+    #    dedup_clusters_star is the union variant's closure sibling.
     "dedup_clusters",
     "dedup_minhash_lsh_char",
-    "q_corpus_pipeline",
+    "dedup_clusters_star",
 )
 
 # Entries whose implementing-module closure changed since DIFF_ANCHOR
@@ -92,18 +85,18 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and VERIFIED_WINDOW.
-# Round 12: EMPTY. Every entry the r11 ledger deferred is
-# window-resident above, and this round's semantic diff touches only
-# plans/similarity.py (the new probe variant), whose entire entry
-# family is window-resident — so no entry is affected-but-unverified
-# and the ledger returns to zero (VERDICT r11 item 2).
+# Round 13: EMPTY (VERDICT r12 item 1: keep it so). The round's only
+# planned semantic additions live in modules outside every existing
+# entry's import closure (the char_union variant gets its own module
+# for exactly this reason — the r12 probe-constant precedent), so no
+# entry is affected-but-unverified.
 TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = ()
 
 
 # The previous round's verdict commit — the diff anchor the contract
 # test measures "changed this round" against. Update each round when the
 # new VERDICT lands.
-DIFF_ANCHOR = "ff8f50266b9a0600787281eb062311026b9960c4"
+DIFF_ANCHOR = "cf8e3e8d0abaa32224eec736830fb1faf5302144"
 
 
 def extension_queries() -> dict[str, QueryFn]:
