@@ -66,14 +66,17 @@ VERIFIED_WINDOW: tuple[str, ...] = (
     "q_cube_order_stats",
     "q_order_deltas",
     "q_trailing_30d_spend",
-    # 5. fillers (r12-green, load-bearing): dedup_clusters is the
-    #    suite's heaviest entry and under the standing per-round cost
-    #    track (VERDICT r12 item 5); dedup_minhash_lsh_char is the
-    #    evidence tier the round's planned char_union variant consumes;
-    #    dedup_clusters_star is the union variant's closure sibling.
+    # 5. the round's NEW entry (changed-files-first: it is the only
+    #    entry its new module implements, and the module was created
+    #    OUTSIDE every sibling's import closure precisely so the other
+    #    ten dedup entries stay rotation-unaffected) + 2 fillers
+    #    (r12-green, load-bearing): dedup_clusters is the suite's
+    #    heaviest entry and under the standing per-round cost track
+    #    (VERDICT r12 item 5); dedup_minhash_lsh_char is the evidence
+    #    tier the union variant consumes.
+    "dedup_clusters_char_union",
     "dedup_clusters",
     "dedup_minhash_lsh_char",
-    "dedup_clusters_star",
 )
 
 # Entries whose implementing-module closure changed since DIFF_ANCHOR
@@ -102,6 +105,7 @@ DIFF_ANCHOR = "cf8e3e8d0abaa32224eec736830fb1faf5302144"
 def extension_queries() -> dict[str, QueryFn]:
     from .analytics import ANALYTICS_QUERIES
     from .dedup import DEDUP_QUERIES
+    from .dedup_union import DEDUP_UNION_QUERIES
     from .misc import MISC_QUERIES
     from .pipeline import PIPELINE_QUERIES
     from .relational import RELATIONAL_QUERIES
@@ -127,6 +131,7 @@ def extension_queries() -> dict[str, QueryFn]:
         ANALYTICS_QUERIES,
         TPCH_EXTRA_QUERIES,
         DEDUP_QUERIES,
+        DEDUP_UNION_QUERIES,
         PIPELINE_QUERIES,
         SANITY_QUERIES,
     ):
@@ -145,6 +150,7 @@ def extension_queries() -> dict[str, QueryFn]:
     q.update(ANALYTICS_QUERIES)
     q.update(TPCH_EXTRA_QUERIES)
     q.update(DEDUP_QUERIES)
+    q.update(DEDUP_UNION_QUERIES)
     q.update(PIPELINE_QUERIES)
     q.update(SANITY_QUERIES)
     return q
@@ -153,6 +159,7 @@ def extension_queries() -> dict[str, QueryFn]:
 def extension_oracles() -> dict[str, str]:
     from .analytics import ANALYTICS_ORACLES
     from .dedup import dedup_oracles
+    from .dedup_union import dedup_union_oracles
     from .misc import misc_oracles
     from .pipeline import pipeline_oracles
     from .similarity import similarity_oracles
@@ -166,6 +173,7 @@ def extension_oracles() -> dict[str, str]:
     o.update(ANALYTICS_ORACLES)
     o.update(TPCH_EXTRA_ORACLES)
     o.update(dedup_oracles())
+    o.update(dedup_union_oracles())
     o.update(similarity_oracles())
     o.update(textops_oracles())
     o.update(misc_oracles())

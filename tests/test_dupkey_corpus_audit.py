@@ -66,6 +66,11 @@ ROW_IDENTITY_REPS = [
     "q_user_top_orders",    # duplicated order row ranks identically
     "dedup_minhash_lsh",    # word tier under the contract
     "dedup_clusters_star",  # must mirror dedup_clusters' DISTINCT seed
+    # the two-tier union (round 13): every tier it composes resolves
+    # re-delivered keys independently (word + char arg_min, exact-star
+    # min-window), and the node seed stays DISTINCT doc_id — a chimera
+    # in ANY tier would mislabel whole clusters here
+    "dedup_clusters_char_union",
 ]
 
 

@@ -89,6 +89,7 @@ AUDIT_ENTRIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_char",
+    "dedup_clusters_char_union",
     "multimodal_decode_stats",
     "q_asof_last_error",
     "q_value_stats",

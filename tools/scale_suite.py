@@ -399,6 +399,134 @@ def ann_recall_x100(spark) -> None:
         spark.catalog.clearCache()
 
 
+def ann_recall_neardup(spark) -> None:
+    """Planted NEAR-duplicate recall (VERDICT r12 item 4): the existing
+    ann_recall_x100 cell saturates at 1.00 on x100 because its true
+    neighbors are EXACT clones (build_x100 replicates vectors
+    bit-identically), and the sf0.1 row measures noise-level neighbor
+    structure — neither is a controlled difficulty. This cell plants
+    100 perturbed queries q' = q + EPS*|q|/|r|*r (r a deterministic
+    md5/xxhash-free-of-entropy noise vector), so cos(q, q') ≈
+    1/sqrt(1+EPS²) ≈ 0.970 against a near-orthogonal background — the
+    regime where the 1-probe/3-probe/IVF ordering is measurable instead
+    of saturated. A hit is the planted original (or, at x100, any of
+    its exact clones — same vector, so pmod(vec_id, OFFSET) identifies
+    the group) appearing in the tier's top-k. Brute force runs as the
+    sanity tier (planted cosine dominates the background, so its recall
+    must be 1.00 and the approximate tiers are read against it).
+    Achieved planted cosines are emitted per corpus (min/mean/max) so
+    the 'controlled difficulty' claim is measured, not asserted."""
+    from flink_streaming_twitter_spark.functions.vectors import dot_product, l2_norm
+    from flink_streaming_twitter_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans.similarity import EMB_DIM, LSH_N_PROBES
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    EPS = 0.25  # tan(theta) of the planted rotation: cos ≈ 0.9701
+    N_PLANT = 100
+    OFF_Q = 10_000_000_000  # query ids; corpus ids top out ~ 99*OFFSET+2e3
+
+    def perturbed(emb):
+        # planted base: 100 ORIGINAL-block ids (present identically in
+        # sf0.1 and x100's k=0 replica; away from the vec_id<5 standard
+        # query set). Noise components are xxhash64-derived thousandths
+        # — deterministic, so reruns measure the same cohort.
+        base = emb.filter(
+            (F.col("vec_id") >= 1000) & (F.col("vec_id") < 1000 + N_PLANT)
+            & F.col("embedding").isNotNull()
+        )
+        aug = (
+            base.withColumn(
+                "noise",
+                F.transform(
+                    "embedding",
+                    lambda _x, j: (
+                        F.pmod(F.xxhash64(F.lit("nd"), F.col("vec_id"), j), F.lit(2001))
+                        - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ),
+            )
+            .withColumn("q_norm", l2_norm(F.col("embedding")))
+            .withColumn("r_norm", l2_norm(F.col("noise")))
+            .withColumn(
+                "pert",
+                F.zip_with(
+                    "embedding",
+                    "noise",
+                    lambda x, r: x.cast("double")
+                    + F.lit(EPS) * F.col("q_norm") / F.col("r_norm") * r,
+                ),
+            )
+        )
+        queries = aug.select(
+            (F.col("vec_id") + OFF_Q).alias("vec_id"), F.col("pert").alias("embedding")
+        )
+        planted = aug.select(
+            (F.col("vec_id") + OFF_Q).alias("q_id"),
+            F.col("vec_id").alias("planted_id"),
+            (
+                dot_product(F.col("pert"), F.col("embedding"))
+                / (l2_norm(F.col("pert")) * F.col("q_norm"))
+            ).alias("cos"),
+        )
+        return queries, planted
+
+    tiers = (
+        ("brute_force", lambda c, q: brute_force_topk(c, q, P.ANN_TOP_K)),
+        ("lsh_probe1", lambda c, q: lsh_topk(
+            c, q, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM)),
+        ("lsh_probe3", lambda c, q: lsh_topk(
+            c, q, P.ANN_TOP_K, num_planes=P.LSH_NUM_PLANES, dim=EMB_DIM,
+            n_probes=LSH_N_PROBES)),
+        ("ivf_auto", lambda c, q: ivf_topk(
+            c, q, P.ANN_TOP_K, nprobe=P.IVF_NPROBE, seed_mod=None,
+            seed_rem=P.IVF_SEED_REM)),
+    )
+    for tag, d in (("sf0.1", SF01), ("x100", X100)):
+        emb = load_table(spark, d, "embeddings")
+        queries, planted = perturbed(emb)
+        planted = planted.persist()
+        stats = planted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("cos"), 4).alias("cmin"),
+            F.round(F.avg("cos"), 4).alias("cmean"),
+            F.round(F.max("cos"), 4).alias("cmax"),
+        ).collect()[0]
+        emit(
+            "ann_recall_neardup", tag=tag, cohort=int(stats.n), eps=EPS,
+            cos_min=float(stats.cmin), cos_mean=float(stats.cmean),
+            cos_max=float(stats.cmax),
+        )
+        for name, build in tiers:
+            res = build(emb, queries)
+            hits = (
+                res.join(
+                    planted,
+                    (res.q_id == planted.q_id)
+                    & (F.pmod(res.vec_id, F.lit(OFFSET)) == planted.planted_id),
+                )
+                .select(planted.q_id)
+                .distinct()
+                .count()
+            )
+            emit(
+                "ann_recall_neardup",
+                bench=name,
+                tag=tag,
+                k=P.ANN_TOP_K,
+                planted=int(stats.n),
+                hits=hits,
+                recall=round(hits / stats.n, 3),
+            )
+            spark.catalog.clearCache()
+        planted.unpersist()
+
+
 def streams_x100(spark) -> None:
     """r5/r5_ann drains at 100x events: one full windowed-count drain plus
     the two heaviest (RocksDB chained two-agg, stream-stream interval
@@ -622,6 +750,7 @@ MANIFEST: dict[str, tuple] = {
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
     "ann_recall_x100": (ann_recall_x100, (f"{X100}/embeddings",), "recall@k of LSH (1/3 probes) and auto-IVF vs brute truth at sf0.1 + 100x"),
+    "ann_recall_neardup": (ann_recall_neardup, (f"{X100}/embeddings",), "planted near-duplicate (cos~0.97) recall@k per tier at sf0.1 + 100x — controlled difficulty"),
     "streams_x100": (streams_x100, (f"{X100}/events",), "heaviest drains at 100x events"),
     "sanity_x100": (sanity_x100, (f"{X100}/events",), "sanity-bound variants vs base twins at sf0.1 + 100x"),
     "recall_denominator_x100": (recall_denominator_x100, (f"{X100}/documents",), "exact t=0.5 pair count at 100x via blocked joins + measured cross-replica term"),
@@ -630,8 +759,9 @@ MANIFEST: dict[str, tuple] = {
 
 GROUPS = {
     "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
-    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "ann_recall_x100", "streams_x100",
-                 "sanity_x100", "recall_denominator_x100", "lsh_bucket_cap_x100"),
+    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "ann_recall_x100",
+                 "ann_recall_neardup", "streams_x100", "sanity_x100",
+                 "recall_denominator_x100", "lsh_bucket_cap_x100"),
 }
 
 
