@@ -54,8 +54,10 @@ representative per windowed-oracle family:
 
 Full-surface sweeps stay available as the manual commands (README
 "Edge-input contracts"): `python tools/make_null_corpus.py` then
-`python tools/check_oracle.py /tmp/sfnull` → expect 85/85 (round 12
-added similarity_lsh_topk_probe3 — its row here binds the unscorable
+`python tools/check_oracle.py /tmp/sfnull` → expect 86/86 (round 13
+added dedup_clusters_char_union — its row here binds the NULL-text
+contract through BOTH shingle tiers and the cluster closure; round 12
+added similarity_lsh_topk_probe3 — its row binds the unscorable
 contract on the multi-probe path; round 11 added dedup_minhash_lsh_char
 at 82 and the two sanity-bound variants at 84; 81 at round 10).
 """

@@ -33,7 +33,7 @@ counting a shared token twice where the oracle's DISTINCT counted
 once.
 
     python tools/make_dupkey_corpus.py           # sf0.001 -> /tmp/sfdup
-    python tools/check_oracle.py /tmp/sfdup      # expect all entries OK (85 as of round 12)
+    python tools/check_oracle.py /tmp/sfdup      # expect all entries OK (86 as of round 13)
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ windows, top-k, percentiles, every dedup/ANN tier, and all five
 streaming drains — agreed on empty input with no change.
 
     python tools/make_empty_corpus.py            # sf0.001 -> /tmp/sfempty
-    python tools/check_oracle.py /tmp/sfempty    # expect all entries OK (85 as of round 12)
+    python tools/check_oracle.py /tmp/sfempty    # expect all entries OK (86 as of round 13)
 """
 
 from __future__ import annotations

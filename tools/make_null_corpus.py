@@ -43,7 +43,7 @@ Every queries() entry can then be driven against its DuckDB oracle on
 data where the NULL contracts actually bind:
 
     python tools/make_null_corpus.py            # sf0.001 -> /tmp/sfnull
-    python tools/check_oracle.py /tmp/sfnull    # expect all entries OK (85 as of round 12)
+    python tools/check_oracle.py /tmp/sfnull    # expect all entries OK (86 as of round 13)
 
 Round-9 findings from this audit (all fixed, all pinned by unit tests):
 the text-normalize comparison split on None-vs-NaN NULL rendering
