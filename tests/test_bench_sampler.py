@@ -1,0 +1,89 @@
+"""_CotenantSampler invariants (round 13): the direct co-tenant CPU
+measurement must attribute THIS process tree's work to the tree — even
+across child exit, the failure mode that produced physically impossible
+peaks (84/153 'cores' on a 32-core machine) on the first r13 draws —
+while still detecting genuinely external load.
+
+Thresholds are deliberately loose (CI machines carry background noise);
+the point pinned here is the ORDER OF MAGNITUDE: own-tree work must not
+leak into the co-tenant estimate wholesale, and external work must not
+vanish from it."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+if not os.path.isdir("/proc"):  # pragma: no cover
+    pytest.skip("sampler needs /proc", allow_module_level=True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _CotenantSampler  # noqa: E402
+
+BURN = "t=__import__('time').time()\nwhile __import__('time').time()-t<{dur}: pass"
+
+
+def _measure(setup=None, window=2.2):
+    s = _CotenantSampler()
+    s.sample()
+    if setup is not None:
+        setup()
+    time.sleep(window)
+    s.sample()
+    cot = s.cotenant_cores()
+    assert cot is not None
+    return cot
+
+
+def test_sampler_returns_none_without_intervals():
+    assert _CotenantSampler().cotenant_cores() is None
+
+
+def test_own_child_burn_not_attributed_to_cotenant():
+    """A CHILD burning a full core for the window is our own work."""
+    p = subprocess.Popen([sys.executable, "-c", BURN.format(dur=1.8)])
+    try:
+        mean, _peak = _measure()
+    finally:
+        p.wait()
+    assert mean < 0.6, f"own child's core leaked into co-tenant estimate: {mean}"
+
+
+def test_dying_child_ticks_do_not_spike_cotenant():
+    """The r13 failure mode: a child that burns ACROSS the first sample
+    then exits before the second must cost at most its final partial
+    interval — not re-attribute its lifetime CPU to the co-tenant."""
+    p = subprocess.Popen([sys.executable, "-c", BURN.format(dur=0.9)])
+    time.sleep(0.2)  # child is alive and burning at the first sample
+    s = _CotenantSampler()
+    s.sample()
+    p.wait()  # dies (and is reaped) inside the window
+    time.sleep(1.8)
+    s.sample()
+    mean, _peak = s.cotenant_cores()
+    assert mean < 0.6, f"dying child's lifetime re-attributed to co-tenant: {mean}"
+
+
+def test_external_burner_is_detected():
+    """A double-fork orphan (reparented to init — NOT in our tree) is a
+    real co-tenant and must show up at roughly its true size."""
+    pid = os.fork()
+    if pid == 0:  # pragma: no cover - child process
+        if os.fork() == 0:
+            os.setsid()
+            t = time.time()
+            while time.time() - t < 2.8:
+                pass
+            os._exit(0)
+        os._exit(0)
+    os.waitpid(pid, 0)
+    time.sleep(0.2)
+    mean, peak = _measure(window=2.0)
+    assert mean > 0.5, f"external burner invisible to the estimate: {mean}"
+    ncpu = os.cpu_count() or 32
+    assert peak <= ncpu, f"peak exceeds the machine: {peak}"
