@@ -279,16 +279,26 @@ def main() -> None:
     cot = sampler.cotenant_cores()
     cotenant_mean, cotenant_peak = cot if cot is not None else (None, None)
     # Flag recalibration (round 13): the END-EMA threshold was tuned
-    # when the suite ran ~60-90 s; at 86 entries (incl. a ~16 s union
-    # entry) the bench's OWN ~6-minute run raises the 15-minute average
-    # past 2.5 from a drained start — both r13 protocol draws tripped
-    # it while the direct measurement read 0.26-0.38 co-tenant cores.
-    # When the direct measurement exists it DECIDES (≥ 1.0 mean core of
-    # competing work = contended; the r12 co-tenant measured ~15, quiet
-    # draws 0.26-0.38 — an order of magnitude each side); the EMA
-    # criteria remain the fallback and both raw signals stay in the
-    # artifact so either rule can be re-derived by a reader.
-    contended = contended_ema if cotenant_mean is None else cotenant_mean >= 1.0
+    # when the suite ran ~60-90 s; at 86 entries (incl. a ~16-21 s
+    # union entry) the bench's OWN ~6-minute run raises the 15-minute
+    # average past 2.5 from a drained start — three of the four r13
+    # protocol draws were quiet by direct measurement (0.26/0.38/0.83
+    # co-tenant cores) yet all tripped the old rule. When the direct
+    # measurement exists it decides the CPU dimension (≥ 1.0 mean core
+    # of competing work = contended; the r12 co-tenant measured ~15 —
+    # an order of magnitude each side of the threshold). Two EMA terms
+    # survive because load average also counts D-state tasks, which the
+    # CPU-tick estimate is blind to (an I/O-heavy co-tenant saturating
+    # the disk the parquet scans share): the START threshold (pre-run,
+    # unaffected by the suite's own length) stays at 1.5, and the END
+    # threshold moves to 6.0 — above the measured quiet-draw own-load
+    # ends (2.82-3.98) with headroom, still below what a multi-task
+    # I/O co-tenant adds. Without /proc the old EMA rule stands alone.
+    contended = (
+        contended_ema
+        if cotenant_mean is None
+        else (cotenant_mean >= 1.0 or load_15m > 1.5 or load_15m_end > 6.0)
+    )
     if contended:
         print(
             f"WARNING: contended draw (co-tenant estimate {cotenant_mean} "

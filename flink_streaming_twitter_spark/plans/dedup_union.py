@@ -49,9 +49,9 @@ from .dedup import (
     CHAR_SHINGLE_K,
     _char_shingles_sql,
     _cluster_output,
+    _clusters_sql,
     _dup_evidence,
     _minhash_sig_sql,
-    _SHINGLES,
 )
 
 
@@ -92,85 +92,64 @@ def _suffix_ctes(frag: str, names: tuple[str, ...], suffix: str) -> str:
     return pat.sub(lambda m: m.group(0) + suffix, frag)
 
 
+def _slice(src: str, start: str, end: str) -> str:
+    """src[start_anchor : end_anchor) — raises ValueError (str.index)
+    with the missing anchor if _clusters_sql's shape ever changes, so
+    the union oracle fails LOUDLY at build time instead of silently
+    assembling a stale transformation."""
+    i = src.index(start)
+    return src[i : src.index(end, i)]
+
+
 def _clusters_char_union_sql() -> str:
     """The dedup_clusters recursive-CTE oracle with a second near-pair
-    tier: both tiers' shingle→signature→band chains run side by side
-    (char-tier CTEs suffixed ``_c``), the edge union takes exact + word
-    + char pairs bidirectionally, and the closure computes the same
-    min-reachable-id labels. Fragments are imported from plans/dedup.py
-    so a constant or hash change there flows into this oracle the same
-    way it flows into the word/char sibling oracles."""
-    n, bands = P.MINHASH_PERMS, P.MINHASH_BANDS
-    rows = n // bands
+    tier, built by TRANSFORMING ``_clusters_sql()``'s own text rather
+    than re-stating any of it: the word chain, exact_pairs, edges, and
+    reach closure are the base oracle VERBATIM (a future contract fix
+    there — the round-9/10/11 NULL/dupkey class — flows into this
+    oracle automatically); the char tier is the base's banded/near_pairs
+    blocks with relations suffixed ``_c`` plus the char shingle/sig
+    chain, and the edge union gains the two char terms. Anchored
+    string surgery with loud failure (see _slice) — the anchors are the
+    CTE names the base oracle has carried since round 6."""
+    base = _clusters_sql()
 
-    def band_selects(sigs_name: str) -> str:
-        return "\n  UNION ALL\n".join(
-            "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM {s}".format(
-                b=b,
-                cols=", ".join(f"mh{b * rows + r}" for r in range(rows)),
-                s=sigs_name,
-            )
-            for b in range(bands)
-        )
-
-    eq_sum = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n))
-    char_chain = _suffix_ctes(
-        _char_shingles_sql(), ("norm", "nz", "shingles"), "_c"
+    # the word tier's banded + near_pairs blocks, re-pointed at the
+    # char-tier relations (same banding, same est-Jaccard gate)
+    banded_block = _slice(base, "banded AS (", ",\nnear_pairs AS (")
+    near_block = _slice(base, "near_pairs AS (", ",\nexact_pairs AS (")
+    char_banded = _suffix_ctes(banded_block, ("banded", "sigs"), "_c")
+    char_near = _suffix_ctes(near_block, ("near_pairs", "banded", "sigs"), "_c")
+    char_chain = _suffix_ctes(_char_shingles_sql(), ("norm", "nz", "shingles"), "_c")
+    char_sigs = _suffix_ctes(
+        _minhash_sig_sql(P.MINHASH_PERMS), ("sigs", "shingles"), "_c"
     )
-    char_sigs = _suffix_ctes(_minhash_sig_sql(n), ("sigs", "shingles"), "_c")
 
-    def near_pairs(banded_name: str, sigs_name: str) -> str:
-        return f"""
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM {banded_name} a JOIN {banded_name} b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-  WHERE (SELECT ({eq_sum}) / {float(n)}
-         FROM {sigs_name} sa, {sigs_name} sb
-         WHERE sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id) >= {P.MINHASH_EST_THRESHOLD}"""
-
-    return f"""
-WITH RECURSIVE {_SHINGLES},
-{_minhash_sig_sql(n)},
-banded AS (
-{band_selects("sigs")}
-),
-{char_chain.strip().rstrip(",")},
-{char_sigs},
-banded_c AS (
-{band_selects("sigs_c")}
-),
-near_pairs AS ({near_pairs("banded", "sigs")}
-),
-near_pairs_c AS ({near_pairs("banded_c", "sigs_c")}
-),
-exact_pairs AS (
-  -- NULL text takes no part in dedup (the dedup_clusters oracle's
-  -- contract, verbatim): filter before keying so NULL-text docs cannot
-  -- form one spurious star
-  SELECT kept AS src, doc_id AS dst FROM (
-    SELECT doc_id,
-           min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS kept
-    FROM documents
-    WHERE text IS NOT NULL
-  ) WHERE doc_id <> kept
-),
-edges AS (
-  SELECT src AS s, dst AS d FROM exact_pairs
-  UNION SELECT dst, src FROM exact_pairs
-  UNION SELECT src, dst FROM near_pairs
-  UNION SELECT dst, src FROM near_pairs
-  UNION SELECT src, dst FROM near_pairs_c
-  UNION SELECT dst, src FROM near_pairs_c
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
-)
-SELECT id AS doc_id, min(r) AS cluster_id,
-       CASE WHEN id = min(r) THEN 1 ELSE 0 END AS is_kept
-FROM reach GROUP BY id
-"""
+    insert_at = ",\nexact_pairs AS ("
+    assert insert_at in base  # _slice above already proved it
+    union_sql = base.replace(
+        insert_at,
+        ",\n"
+        + char_chain.strip().rstrip(",")
+        + ",\n"
+        + char_sigs
+        + ",\n"
+        + char_banded
+        + ",\n"
+        + char_near
+        + insert_at,
+        1,
+    )
+    word_edge_tail = "  UNION SELECT dst, src FROM near_pairs\n)"
+    if word_edge_tail not in union_sql:
+        raise ValueError("edges CTE anchor missing from _clusters_sql")
+    return union_sql.replace(
+        word_edge_tail,
+        "  UNION SELECT dst, src FROM near_pairs\n"
+        "  UNION SELECT src, dst FROM near_pairs_c\n"
+        "  UNION SELECT dst, src FROM near_pairs_c\n)",
+        1,
+    )
 
 
 DEDUP_UNION_QUERIES = {

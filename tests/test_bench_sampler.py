@@ -72,6 +72,11 @@ def test_dying_child_ticks_do_not_spike_cotenant():
 def test_external_burner_is_detected():
     """A double-fork orphan (reparented to init — NOT in our tree) is a
     real co-tenant and must show up at roughly its true size."""
+    if os.getpid() == 1:
+        pytest.skip(
+            "test runner is pid 1: the orphan reparents to US and is"
+            " correctly classified own-tree, vacating the premise"
+        )
     pid = os.fork()
     if pid == 0:  # pragma: no cover - child process
         if os.fork() == 0:

@@ -523,8 +523,11 @@ def ann_recall_neardup(spark) -> None:
                 hits=hits,
                 recall=round(hits / stats.n, 3),
             )
-            spark.catalog.clearCache()
+        # clearCache AFTER the tier loop (the ann_recall_x100 pattern):
+        # inside it, the just-persisted planted table would be evicted
+        # and its filter+perturb+norm lineage recomputed per tier
         planted.unpersist()
+        spark.catalog.clearCache()
 
 
 def streams_x100(spark) -> None:
