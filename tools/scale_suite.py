@@ -296,6 +296,29 @@ def dedup_x100(spark) -> None:
         emit("dedup_x100", **row)
 
 
+def dedup_union_x100(spark) -> None:
+    """Round 13: the two-tier evidence-union entry
+    (dedup_clusters_char_union) at both decades — the suite's heaviest
+    entry, so its data-effect factor gets its own row the round it
+    ships. Expectation from its parts (SCALE.md): word tier ~2.9 s →
+    ~29 s at ×100, char tier ~2 s → ~8 s, CC 2.6 → 35.2 s; the union
+    pays the tiers once each plus the closure over the combined edge
+    set. One pass at ×100 (heavy), min-over-PASSES at sf0.1."""
+    from flink_streaming_twitter_spark.plans.dedup_union import dedup_clusters_char_union
+
+    row: dict = {"bench": "dedup_clusters_char_union"}
+    for tag, d, passes in (("sf0.1", SF01, PASSES), ("x100", X100, 1)):
+        best, rows = timed(lambda: dedup_clusters_char_union(spark, d), passes=passes)
+        row[tag] = round(best, 2)
+        row[f"{tag}_rows"] = rows
+        row[f"passes_{tag.replace('.', '_')}"] = passes
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    if row["sf0.1"] > 0:
+        row["factor"] = round(row["x100"] / row["sf0.1"], 2)
+    emit("dedup_union_x100", **row)
+
+
 def ann_x100(spark) -> None:
     """r5_ann table: the IVF sizing contrast (gate-fixed seed_mod — ONE
     pass at the expensive x100 cell, the documented-bad configuration —
@@ -751,6 +774,7 @@ MANIFEST: dict[str, tuple] = {
     "dedup_x10": (dedup_x10, (f"{X10}/documents", f"{X10}/embeddings"), "dedup/ANN/CC families at sf0.1 + 10x, with row counts and CC rounds"),
     "streams_x10": (streams_x10, (f"{X10}/events", f"{X10}/documents"), "five multi-batch drains + multimodal kernel at 10x"),
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
+    "dedup_union_x100": (dedup_union_x100, (f"{X100}/documents",), "the two-tier union clustering entry at sf0.1 + 100x with data-effect factor"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
     "ann_recall_x100": (ann_recall_x100, (f"{X100}/embeddings",), "recall@k of LSH (1/3 probes) and auto-IVF vs brute truth at sf0.1 + 100x"),
     "ann_recall_neardup": (ann_recall_neardup, (f"{X100}/embeddings",), "planted near-duplicate (cos~0.97) recall@k per tier at sf0.1 + 100x — controlled difficulty"),
@@ -762,9 +786,9 @@ MANIFEST: dict[str, tuple] = {
 
 GROUPS = {
     "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
-    "all_x100": ("build_x100", "dedup_x100", "ann_x100", "ann_recall_x100",
-                 "ann_recall_neardup", "streams_x100", "sanity_x100",
-                 "recall_denominator_x100", "lsh_bucket_cap_x100"),
+    "all_x100": ("build_x100", "dedup_x100", "dedup_union_x100", "ann_x100",
+                 "ann_recall_x100", "ann_recall_neardup", "streams_x100",
+                 "sanity_x100", "recall_denominator_x100", "lsh_bucket_cap_x100"),
 }
 
 
