@@ -22,61 +22,59 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # retune the tuple, the exemptions, and the anchor — with per-round
 # history living in git, not in identifier suffixes.
 VERIFIED_WINDOW: tuple[str, ...] = (
-    # Round 13: the two-round sweep rotation (VERDICT r12 item 1). The
-    # window absorbs ALL 35 entries whose newest driver verdict is r11
-    # (they sat out round 12's rotation-debt window), so after
-    # CORRECTNESS_r13 the union of r12 ∪ r13 driver verdicts covers the
-    # whole surface again. 3 slots remain for r12-green fillers.
-    # 1. the dedup family block (6 entries lacking an r12 verdict).
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_60bit",
-    "dedup_lsh_exact",
-    # 2. the corpus-pipeline block.
-    "q_incremental_dedup",
-    "q_hash_split_counts",
-    "q_cap_per_source",
-    "q_cap_per_source_salted",
-    "q_mix_weighted",
-    "q_text_normalize",
-    "q_text_normalize_nfc",
-    # 3. TPC-H q2/q6–q11/q13–q22.
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # 4. the relational tail.
-    "top_customers",
-    "q_inactive_customers",
-    "q_cube_order_stats",
-    "q_order_deltas",
-    "q_trailing_30d_spend",
-    # 5. the round's NEW entry (changed-files-first: it is the only
-    #    entry its new module implements, and the module was created
-    #    OUTSIDE every sibling's import closure precisely so the other
-    #    ten dedup entries stay rotation-unaffected) + 2 fillers
-    #    (r12-green, load-bearing): dedup_clusters is the suite's
-    #    heaviest entry and under the standing per-round cost track
-    #    (VERDICT r12 item 5); dedup_minhash_lsh_char is the evidence
-    #    tier the union variant consumes.
-    "dedup_clusters_char_union",
+    # Round 14: the two-round sweep rotation (VERDICT r13 item 1). The
+    # window absorbs ALL 36 entries whose newest driver verdict is r12
+    # (they sat out round 13's window: r12-keys minus r13-keys, computed
+    # directly from the CORRECTNESS artifacts), so after CORRECTNESS_r14
+    # the union of r13 ∪ r14 driver verdicts covers the whole surface
+    # again. 2 slots remain for r13-green, load-bearing fillers.
+    # 1. the dedup/graph/similarity/multimodal block.
+    "dedup_clusters_star",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_lsh_topk_probe3",
+    "similarity_ivf_topk",
+    "multimodal_meta",
+    "multimodal_decode_stats",
+    # 2. the text-analysis block.
+    "doc_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    # 3. TPC-H q1/q3/q4/q5/q12.
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q12_late_shipments",
+    # 4. the composed pipeline + sessionization entries.
+    "q_corpus_pipeline",
+    "events_sessionize",
+    # 5. the analytics/approx/sanity tail.
+    "q_approx_distinct_users",
+    "q_approx_percentiles",
+    "q_asof_last_error",
+    "q_distinct_users",
+    "q_embedding_norms",
+    "q_grouping_sets_sales",
+    "q_order_rank_distribution",
+    "q_pivot_daily",
+    "q_price_percentiles",
+    "q_range_join_error_impact",
+    "q_rollup_counts",
+    "q_user_segments",
+    "q_user_top_orders",
+    "q_value_by_window_sane",
+    "q_value_stats",
+    "q_value_stats_sane",
+    # 6. fillers (r13-green, load-bearing): dedup_clusters stays under
+    #    the standing per-round cost track (VERDICT r13 item 5);
+    #    dedup_clusters_char_union is the suite's new heaviest entry
+    #    (r13 isolated band ≈9.7–13 s) on its first repeat-round watch.
     "dedup_clusters",
-    "dedup_minhash_lsh_char",
+    "dedup_clusters_char_union",
 )
 
 # Entries whose implementing-module closure changed since DIFF_ANCHOR
@@ -88,18 +86,18 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # recomputes the affected-entry set from the actual git diff (doc-only
 # edits excluded by AST fingerprint) and fails on any entry missing from
 # both this mapping and VERIFIED_WINDOW.
-# Round 13: EMPTY (VERDICT r12 item 1: keep it so). The round's only
-# planned semantic additions live in modules outside every existing
-# entry's import closure (the char_union variant gets its own module
-# for exactly this reason — the r12 probe-constant precedent), so no
-# entry is affected-but-unverified.
+# Round 14: EMPTY (VERDICT r13 item 1: keep it so). This round is a
+# maintenance round: planned changes are tools/bench measurement code
+# (bench.py sampler evidence split, tools/scale_suite.py dial cells)
+# outside every entry's import closure, so no entry is
+# affected-but-unverified.
 TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = ()
 
 
 # The previous round's verdict commit — the diff anchor the contract
 # test measures "changed this round" against. Update each round when the
 # new VERDICT lands.
-DIFF_ANCHOR = "cf8e3e8d0abaa32224eec736830fb1faf5302144"
+DIFF_ANCHOR = "dc648f1455bc9024fa5553e9a3ed319cac98ec14"
 
 
 def extension_queries() -> dict[str, QueryFn]:
