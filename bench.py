@@ -70,54 +70,88 @@ class _CotenantSampler:
     where /proc is unavailable."""
 
     def __init__(self) -> None:
-        self._prev_ticks: dict[int, int] = {}
-        self._mine: set[int] = set()
-        self._last: tuple[float, int] | None = None
-        self.intervals: list[tuple[float, int, int]] = []  # (dwall, dbusy, down)
+        # pid -> (ticks, starttime); starttime (field 22) disambiguates
+        # a recycled pid number from the process the delta was taken on
+        self._prev_ticks: dict[int, tuple[int, int]] = {}
+        self._mine: dict[int, int] = {}  # pid -> starttime
+        self._last: tuple[float, int, int] | None = None
+        # (dwall, dbusy, down, diowait)
+        self.intervals: list[tuple[float, int, int, int]] = []
 
     def sample(self) -> None:
         try:
             with open("/proc/stat") as f:
                 parts = f.readline().split()
             vals = [int(x) for x in parts[1:]]
-            busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
-            pid_info: dict[int, tuple[int, int]] = {}  # pid -> (ppid, ticks)
+            # busy = user+nice+system+irq+softirq+steal. idle (3) and
+            # iowait (4) are excluded by construction; guest/guest_nice
+            # (8, 9) are excluded because the kernel already folds them
+            # into user/nice — summing them too would double-count VM
+            # guest time and inflate the co-tenant estimate (ADVICE r13)
+            busy = sum(vals[:8]) - vals[3] - vals[4]
+            iowait = vals[4]
+            # pid -> (ppid, ticks, starttime)
+            pid_info: dict[int, tuple[int, int, int]] = {}
             for d in os.listdir("/proc"):
                 if not d.isdigit():
                     continue
                 try:
                     with open(f"/proc/{d}/stat") as f:
                         st = f.read()
-                except OSError:  # pid exited mid-scan
+                    # field 2 (comm) may itself contain spaces/parens —
+                    # everything after the LAST ')' is fixed-position:
+                    # rest[1]=ppid, rest[11..12]=utime,stime,
+                    # rest[19]=starttime
+                    rest = st.rsplit(")", 1)[1].split()
+                    pid_info[int(d)] = (
+                        int(rest[1]),
+                        int(rest[11]) + int(rest[12]),
+                        int(rest[19]),
+                    )
+                except (OSError, IndexError, ValueError):
+                    # pid exited mid-scan, or the read raced teardown and
+                    # returned empty/truncated content (ADVICE r13): skip
+                    # the pid, never abort the sample
                     continue
-                # field 2 (comm) may itself contain spaces/parens —
-                # everything after the LAST ')' is fixed-position:
-                # rest[1]=ppid, rest[11..12]=utime,stime
-                rest = st.rsplit(")", 1)[1].split()
-                pid_info[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
         except OSError:
             return
         me = os.getpid()
-        mine: set[int] = set()
-        for pid in pid_info:
+        mine: dict[int, int] = {}
+        for pid, (_pp, _t, start) in pid_info.items():
             p, hops = pid, 0
             while p not in (0, me) and hops < 64:
-                p = pid_info.get(p, (0, 0))[0]
+                p = pid_info.get(p, (0, 0, 0))[0]
                 hops += 1
             if p == me or pid == me:
-                mine.add(pid)
+                mine[pid] = start
         # sticky: a previously-ours pid still alive stays ours even if
-        # it reparented away (daemon shutdown orphans)
-        mine |= {p for p in self._mine if p in pid_info}
+        # it reparented away (daemon shutdown orphans) — but only while
+        # its starttime matches; a recycled pid number is a NEW process
+        # and must re-qualify via ancestry (ADVICE r13)
+        for pid, start in self._mine.items():
+            if pid in pid_info and pid_info[pid][2] == start:
+                mine.setdefault(pid, start)
         now = time.perf_counter()
         if self._last is not None:
             down = 0
-            for pid in mine:
-                down += pid_info[pid][1] - self._prev_ticks.get(pid, 0)
-            self.intervals.append((now - self._last[0], busy - self._last[1], down))
-        self._last = (now, busy)
+            for pid, start in mine.items():
+                prev_t, prev_start = self._prev_ticks.get(pid, (0, start))
+                if prev_start != start:  # recycled pid: full ticks are new
+                    prev_t = 0
+                down += pid_info[pid][1] - prev_t
+            self.intervals.append(
+                (
+                    now - self._last[0],
+                    busy - self._last[1],
+                    down,
+                    iowait - self._last[2],
+                )
+            )
+        self._last = (now, busy, iowait)
         self._mine = mine
-        self._prev_ticks = {pid: pid_info[pid][1] for pid in mine}
+        self._prev_ticks = {
+            pid: (pid_info[pid][1], pid_info[pid][2]) for pid in mine
+        }
 
     def cotenant_cores(self) -> tuple[float, float] | None:
         """(mean, peak) co-tenant cores over the recorded intervals.
@@ -130,16 +164,34 @@ class _CotenantSampler:
             return None
         hz = os.sysconf("SC_CLK_TCK")
         ncpu = os.cpu_count() or 32
-        total_wall = sum(dw for dw, _b, _o in self.intervals)
+        total_wall = sum(dw for dw, _b, _o, _i in self.intervals)
         if total_wall <= 0:
             return None
-        total_cot = sum(db - do for _w, db, do in self.intervals)
+        total_cot = sum(db - do for _w, db, do, _i in self.intervals)
         mean = min(max(0.0, total_cot / hz / total_wall), float(ncpu))
         peak = 0.0
-        for dw, db, do in self.intervals:
+        for dw, db, do, _i in self.intervals:
             if dw >= 1.0:
                 peak = max(peak, min(max(0.0, (db - do) / hz / dw), float(ncpu)))
         return round(mean, 2), round(peak, 2)
+
+    def iowait_cores(self) -> float | None:
+        """Mean machine-wide IO-wait cores over the recorded intervals
+        (/proc/stat field 4 delta / HZ / wall). The EMA terms of the
+        contended flag exist because load average counts D-state tasks
+        the CPU-tick co-tenant estimate is blind to; this field shows
+        that I/O dimension directly, so a reader can see whether an
+        EMA-tripped flag was disk pressure or stale EMA (VERDICT r13
+        item 6). Machine-wide, not co-tenant-split: iowait is a global
+        counter, and our own parquet scans contribute to it too."""
+        if not self.intervals:
+            return None
+        hz = os.sysconf("SC_CLK_TCK")
+        total_wall = sum(dw for dw, _b, _o, _i in self.intervals)
+        if total_wall <= 0:
+            return None
+        total_io = sum(di for _w, _b, _o, di in self.intervals)
+        return round(max(0.0, total_io / hz / total_wall), 2)
 
 
 def _stream_qb_drain(spark) -> tuple[float, int]:
@@ -301,15 +353,23 @@ def main() -> None:
     # measured quiet-draw own-load ends (2.82-3.98) with headroom,
     # still below what a multi-task I/O co-tenant adds. Without /proc
     # the old EMA rule stands alone.
+    # Evidence split (VERDICT r13 item 6): BENCH_r13 showed the shape
+    # that recurs — `contended: true` from the EMA start term while the
+    # direct estimate read 0.31 cores. Emit each term as its own field
+    # so a reader sees WHICH one tripped without consulting SCALE.md:
+    # contended = contended_cpu OR contended_ema_start OR
+    # contended_ema_end (direct-measurement rule), falling back to the
+    # legacy contended_ema when /proc is unavailable. iowait_cores_mean
+    # is the direct I/O-pressure sample the EMA terms proxy for.
     cot_threshold = max(1.0, (os.cpu_count() or 32) / 8)
+    contended_cpu = None if cotenant_mean is None else cotenant_mean >= cot_threshold
+    contended_ema_start = load_15m > 1.5
+    contended_ema_end = load_15m_end > 6.0
+    iowait_cores_mean = sampler.iowait_cores()
     contended = (
         contended_ema
-        if cotenant_mean is None
-        else (
-            cotenant_mean >= cot_threshold
-            or load_15m > 1.5
-            or load_15m_end > 6.0
-        )
+        if contended_cpu is None
+        else (contended_cpu or contended_ema_start or contended_ema_end)
     )
     if contended:
         print(
@@ -337,9 +397,13 @@ def main() -> None:
         "load_15m": load_15m,
         "load_15m_end": load_15m_end,
         "contended": contended,
+        "contended_cpu": contended_cpu,
+        "contended_ema_start": contended_ema_start,
+        "contended_ema_end": contended_ema_end,
         "contended_ema": contended_ema,
         "cotenant_cpu_estimate": cotenant_mean,
         "cotenant_cpu_peak": cotenant_peak,
+        "iowait_cores_mean": iowait_cores_mean,
         "pass_policy": f"min-over-{n_passes}",
     }
     # round 1+2's full stdout line got head-truncated in the driver's
@@ -385,9 +449,13 @@ def main() -> None:
         "load_15m": load_15m,
         "load_15m_end": out["load_15m_end"],
         "contended": contended,
+        "contended_cpu": contended_cpu,
+        "contended_ema_start": contended_ema_start,
+        "contended_ema_end": contended_ema_end,
         "contended_ema": contended_ema,
         "cotenant_cpu_estimate": cotenant_mean,
         "cotenant_cpu_peak": cotenant_peak,
+        "iowait_cores_mean": iowait_cores_mean,
         "pass_policy": out["pass_policy"],
     }
     # compact line BOTH sides of the full record: whichever end of stdout

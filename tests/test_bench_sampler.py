@@ -92,3 +92,61 @@ def test_external_burner_is_detected():
     assert mean > 0.5, f"external burner invisible to the estimate: {mean}"
     ncpu = os.cpu_count() or 32
     assert peak <= ncpu, f"peak exceeds the machine: {peak}"
+
+
+def test_iowait_field_present_and_sane():
+    """Round 14: intervals carry a machine-wide iowait delta; the mean
+    must exist after a window and be a small non-negative number on a
+    quiet machine (it is cores-of-iowait, bounded by ncpu)."""
+    s = _CotenantSampler()
+    assert s.iowait_cores() is None
+    s.sample()
+    time.sleep(1.2)
+    s.sample()
+    io = s.iowait_cores()
+    assert io is not None and 0.0 <= io <= (os.cpu_count() or 32)
+    # and the intervals themselves are the 4-tuple shape
+    assert all(len(iv) == 4 for iv in s.intervals)
+
+
+def test_truncated_pid_stat_is_skipped_not_fatal(monkeypatch):
+    """ADVICE r13: a zero-length/truncated /proc/<pid>/stat read during
+    pid teardown must skip that pid, not escape sample() and kill the
+    draw. Simulated by injecting one bad read into the real scan."""
+    real_open = open
+    poisoned = {"done": False}
+
+    def bad_open(path, *a, **k):
+        f = real_open(path, *a, **k)
+        if (
+            not poisoned["done"]
+            and isinstance(path, str)
+            and path.startswith("/proc/")
+            and path.endswith("/stat")
+            and path != "/proc/stat"
+        ):
+            poisoned["done"] = True
+
+            class Trunc:
+                def read(self):
+                    return ""  # teardown race: empty content
+
+                def readline(self):
+                    return ""
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    f.close()
+                    return False
+
+            return Trunc()
+        return f
+
+    import builtins
+
+    s = _CotenantSampler()
+    monkeypatch.setattr(builtins, "open", bad_open)
+    s.sample()  # must not raise
+    assert poisoned["done"], "premise: at least one pid stat was read"

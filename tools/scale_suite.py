@@ -319,6 +319,192 @@ def dedup_union_x100(spark) -> None:
     emit("dedup_union_x100", **row)
 
 
+def dedup_union_dial_x100(spark) -> None:
+    """Round 14 (VERDICT r13 item 2): measure the union entry's NAMED
+    ×100 scale dial instead of leaving it as prose. Round 13 established
+    the 47.8× factor is driven by the char tier's estimated-Jaccard gate
+    (est ≥ 0.5 passes 48.65 M pairs at ×100 vs ~25.6 K true pairs) and
+    ruled OUT in-union exact verification (>50 GB spill, ENOSPC); this
+    cell quantifies the dial itself. Gate parameters in the SHIPPED
+    entry stay pinned (the oracle certifies union semantics); everything
+    here is a tools-only deploy-guidance variant built from the verbatim
+    shipped operators. Emits:
+      1. char_est_spectrum — edge counts at est ≥ {0.5, 0.625, 0.75,
+         0.875} per decade (the dial's response curve, counted from ONE
+         pinned-gate pair stream per decade);
+      2. recall_cost (sf0.1) — of the exact-verified true char pairs
+         (true J ≥ 0.5), how many survive each raised est gate: the
+         recall price of the dial, a per-pair property independent of
+         corpus size;
+      3. union_dialed — the dialed union (char tier at est ≥ DIAL, word
+         tier + exact edges untouched) timed at sf0.1 (min-over-PASSES)
+         and ×100 (one pass), with the data-effect factor to set against
+         the shipped 47.8×;
+      4. refinement_invariant (sf0.1) — raising the gate only REMOVES
+         edges, so the dialed partition must refine the pinned one
+         (every dialed cluster inside exactly one pinned cluster); the
+         coarsening-property test (tests/test_dedup_union.py) pins the
+         mirror direction (VERDICT r13 item 7);
+      5. cap_dial — the alternate dial: post-cap ×100 edge counts and
+         the dropped-bucket loss ledger at the default cap (1024) vs a
+         tightened 256, so the accounted loss of capping is on the
+         books next to the threshold dial's recall cost."""
+    from flink_streaming_twitter_spark.operators import dedup as D
+    from flink_streaming_twitter_spark.operators.graph import connected_components
+    from flink_streaming_twitter_spark.plans import params as P
+    from flink_streaming_twitter_spark.plans.dedup import (
+        CHAR_SHINGLE_K,
+        _cluster_output,
+        _dup_evidence,
+    )
+    from flink_streaming_twitter_spark.plans.dedup_union import dedup_clusters_char_union
+    from flink_streaming_twitter_spark.sources.files import load_table
+
+    DIAL = 0.75  # 12/16 equal minhashes — the deploy-guidance raised gate
+    SPECTRUM = (0.5, 0.625, 0.75, 0.875)
+
+    def char_pairs(d, est, max_bucket=D.DEFAULT_LSH_MAX_BUCKET, accounting=False):
+        docs = load_table(spark, d, "documents")
+        return D.minhash_lsh_dedup(
+            docs,
+            num_perm=P.MINHASH_PERMS,
+            bands=P.MINHASH_BANDS,
+            est_threshold=est,
+            shingle_k=CHAR_SHINGLE_K,
+            shingle_mode="char",
+            max_bucket=max_bucket,
+            accounting=accounting,
+        )
+
+    def union_dialed(d, est):
+        docs = load_table(spark, d, "documents")
+        cp = char_pairs(d, est).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comp = connected_components(
+            _dup_evidence(docs).union(cp),
+            nodes=docs.select(F.col("doc_id").alias("id")).distinct(),
+        )
+        return _cluster_output(comp)
+
+    # 1. dial response curve: one pinned-gate pair stream per decade,
+    #    thresholds counted from its est_jaccard column (no re-runs)
+    for tag, d in (("sf0.1", SF01), ("x100", X100)):
+        pairs = char_pairs(d, P.MINHASH_EST_THRESHOLD).persist()
+        agg = pairs.agg(
+            *[
+                F.sum((F.col("est_jaccard") >= F.lit(t)).cast("long")).alias(f"t{i}")
+                for i, t in enumerate(SPECTRUM)
+            ]
+        ).collect()[0]
+        emit(
+            "dedup_union_dial_x100",
+            bench="char_est_spectrum",
+            tag=tag,
+            **{f"pairs_est_ge_{t}": int(agg[f"t{i}"] or 0) for i, t in enumerate(SPECTRUM)},
+        )
+        pairs.unpersist()
+        spark.catalog.clearCache()
+
+    # 2. recall cost of the raised gate (sf0.1; per-pair property): true
+    #    char pairs (exact-verified J >= 0.5 — the measured recall-1.0
+    #    baseline, SCALE.md round-11 block) joined to the pinned est
+    #    stream; the 16-perm estimate for each true pair decides whether
+    #    a raised gate keeps it
+    docs01_true = D.lsh_verified_jaccard(
+        load_table(spark, SF01, "documents"),
+        num_perm=P.MINHASH_PERMS,
+        bands=P.MINHASH_BANDS,
+        threshold=0.5,
+        shingle_k=CHAR_SHINGLE_K,
+        shingle_mode="char",
+    ).select("doc_a", "doc_b")
+    joined = docs01_true.join(char_pairs(SF01, P.MINHASH_EST_THRESHOLD), ["doc_a", "doc_b"])
+    rc = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("est_jaccard") >= F.lit(t)).cast("long")).alias(f"t{i}")
+            for i, t in enumerate(SPECTRUM)
+        ],
+    ).collect()[0]
+    emit(
+        "dedup_union_dial_x100",
+        bench="recall_cost",
+        tag="sf0.1",
+        true_pairs=int(rc.n),
+        **{f"kept_est_ge_{t}": int(rc[f"t{i}"] or 0) for i, t in enumerate(SPECTRUM)},
+    )
+    spark.catalog.clearCache()
+
+    # 3. the dialed union, timed at both decades (shipped-entry scopes:
+    #    min-over-PASSES at sf0.1, one pass at x100)
+    row: dict = {"bench": "union_dialed", "char_est_threshold": DIAL}
+    for tag, d, passes in (("sf0.1", SF01, PASSES), ("x100", X100, 1)):
+        best, rows = timed(lambda: union_dialed(d, DIAL), passes=passes)
+        row[tag] = round(best, 2)
+        row[f"{tag}_rows"] = rows
+        row[f"passes_{tag.replace('.', '_')}"] = passes
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    if row["sf0.1"] > 0:
+        row["factor"] = round(row["x100"] / row["sf0.1"], 2)
+    emit("dedup_union_dial_x100", **row)
+
+    # 4. refinement invariant at sf0.1: fewer edges can only split or
+    #    preserve clusters, never merge them — every dialed cluster must
+    #    sit inside exactly one pinned cluster
+    dialed = union_dialed(SF01, DIAL).select(
+        "doc_id", F.col("cluster_id").alias("dial_c")
+    )
+    pinned = dedup_clusters_char_union(spark, SF01).select(
+        "doc_id", F.col("cluster_id").alias("pin_c")
+    )
+    violations = (
+        dialed.join(pinned, "doc_id")
+        .groupBy("dial_c")
+        .agg(F.countDistinct("pin_c").alias("n_pin"))
+        .filter(F.col("n_pin") > 1)
+        .count()
+    )
+    emit(
+        "dedup_union_dial_x100",
+        bench="refinement_invariant",
+        tag="sf0.1",
+        char_est_threshold=DIAL,
+        violations=int(violations),
+        refines=violations == 0,
+    )
+    spark.catalog.clearCache()
+
+    # 5. the alternate dial: tightened band-bucket cap at x100 — post-cap
+    #    edge count plus the dropped-bucket ledger (count, max occupancy,
+    #    pair-loss upper bound sum n(n-1)/2), at default vs 256
+    for cap in (D.DEFAULT_LSH_MAX_BUCKET, 256):
+        pairs, dropped = char_pairs(
+            X100, P.MINHASH_EST_THRESHOLD, max_bucket=cap, accounting=True
+        )
+        n_pairs = pairs.count()
+        led = dropped.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("occupancy").alias("max_occ"),
+            F.sum(
+                (F.col("occupancy") * (F.col("occupancy") - 1) / 2).cast("long")
+            ).alias("pair_loss_bound"),
+        ).collect()[0]
+        emit(
+            "dedup_union_dial_x100",
+            bench="cap_dial",
+            tag="x100",
+            max_bucket=cap,
+            pairs=n_pairs,
+            dropped_buckets=int(led.n_buckets or 0),
+            max_occupancy=int(led.max_occ or 0),
+            pair_loss_bound=int(led.pair_loss_bound or 0),
+        )
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+
 def ann_x100(spark) -> None:
     """r5_ann table: the IVF sizing contrast (gate-fixed seed_mod — ONE
     pass at the expensive x100 cell, the documented-bad configuration —
@@ -520,6 +706,14 @@ def ann_recall_neardup(spark) -> None:
             F.round(F.avg("cos"), 4).alias("cmean"),
             F.round(F.max("cos"), 4).alias("cmax"),
         ).collect()[0]
+        if stats.n == 0:
+            # ADVICE r13: an empty planted cohort (no embeddings with
+            # vec_id 1000-1099 in this table) would make the float()
+            # casts raise on NULL aggregates and recall divide by zero —
+            # emit a diagnosable row instead and skip the tiers
+            emit("ann_recall_neardup", tag=tag, cohort=0, eps=EPS)
+            planted.unpersist()
+            continue
         emit(
             "ann_recall_neardup", tag=tag, cohort=int(stats.n), eps=EPS,
             cos_min=float(stats.cmin), cos_mean=float(stats.cmean),
@@ -775,6 +969,7 @@ MANIFEST: dict[str, tuple] = {
     "streams_x10": (streams_x10, (f"{X10}/events", f"{X10}/documents"), "five multi-batch drains + multimodal kernel at 10x"),
     "dedup_x100": (dedup_x100, (f"{X100}/documents",), "output-sensitive dedup at 100x: parameter vs data effects, deploy contrast"),
     "dedup_union_x100": (dedup_union_x100, (f"{X100}/documents",), "the two-tier union clustering entry at sf0.1 + 100x with data-effect factor"),
+    "dedup_union_dial_x100": (dedup_union_dial_x100, (f"{X100}/documents",), "the union entry's scale dial, measured: char est-gate spectrum, recall cost, dialed union factor, refinement invariant, cap-dial loss ledger"),
     "ann_x100": (ann_x100, (f"{X100}/embeddings",), "IVF sizing contrast + LSH/brute ANN at 100x"),
     "ann_recall_x100": (ann_recall_x100, (f"{X100}/embeddings",), "recall@k of LSH (1/3 probes) and auto-IVF vs brute truth at sf0.1 + 100x"),
     "ann_recall_neardup": (ann_recall_neardup, (f"{X100}/embeddings",), "planted near-duplicate (cos~0.97) recall@k per tier at sf0.1 + 100x — controlled difficulty"),
@@ -786,7 +981,8 @@ MANIFEST: dict[str, tuple] = {
 
 GROUPS = {
     "all_x10": ("build_x10", "dedup_x10", "streams_x10"),
-    "all_x100": ("build_x100", "dedup_x100", "dedup_union_x100", "ann_x100",
+    "all_x100": ("build_x100", "dedup_x100", "dedup_union_x100",
+                 "dedup_union_dial_x100", "ann_x100",
                  "ann_recall_x100", "ann_recall_neardup", "streams_x100",
                  "sanity_x100", "recall_denominator_x100", "lsh_bucket_cap_x100"),
 }
