@@ -339,7 +339,13 @@ def dedup_union_dial_x100(spark) -> None:
       3. union_dialed — the dialed union (char tier at est ≥ DIAL, word
          tier + exact edges untouched) timed at sf0.1 (min-over-PASSES)
          and ×100 (one pass), with the data-effect factor to set against
-         the shipped 47.8×;
+         the shipped 47.8×; a second row at est ≥ 0.875 runs the
+         O(log n) star closure, because the first 0.875 probe MEASURED
+         a closure interaction: raising the gate sparsifies the
+         evidence graph and GROWS ITS DIAMETER (the removed mid-range
+         edges were the shortcuts), and plain min-label propagation
+         (O(diameter) rounds) blew its 25-round cap at sf0.1 — deploy a
+         raised gate together with the star closure;
       4. refinement_invariant (sf0.1) — raising the gate only REMOVES
          edges, so the dialed partition must refine the pinned one
          (every dialed cluster inside exactly one pinned cluster); the
@@ -350,7 +356,10 @@ def dedup_union_dial_x100(spark) -> None:
          tightened 256, so the accounted loss of capping is on the
          books next to the threshold dial's recall cost."""
     from flink_streaming_twitter_spark.operators import dedup as D
-    from flink_streaming_twitter_spark.operators.graph import connected_components
+    from flink_streaming_twitter_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
     from flink_streaming_twitter_spark.plans import params as P
     from flink_streaming_twitter_spark.plans.dedup import (
         CHAR_SHINGLE_K,
@@ -376,12 +385,12 @@ def dedup_union_dial_x100(spark) -> None:
             accounting=accounting,
         )
 
-    def union_dialed(d, est):
+    def union_dialed(d, est, closure=connected_components):
         docs = load_table(spark, d, "documents")
         cp = char_pairs(d, est).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        comp = connected_components(
+        comp = closure(
             _dup_evidence(docs).union(cp),
             nodes=docs.select(F.col("doc_id").alias("id")).distinct(),
         )
@@ -437,18 +446,29 @@ def dedup_union_dial_x100(spark) -> None:
     spark.catalog.clearCache()
 
     # 3. the dialed union, timed at both decades (shipped-entry scopes:
-    #    min-over-PASSES at sf0.1, one pass at x100)
-    row: dict = {"bench": "union_dialed", "char_est_threshold": DIAL}
-    for tag, d, passes in (("sf0.1", SF01, PASSES), ("x100", X100, 1)):
-        best, rows = timed(lambda: union_dialed(d, DIAL), passes=passes)
-        row[tag] = round(best, 2)
-        row[f"{tag}_rows"] = rows
-        row[f"passes_{tag.replace('.', '_')}"] = passes
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-    if row["sf0.1"] > 0:
-        row["factor"] = round(row["x100"] / row["sf0.1"], 2)
-    emit("dedup_union_dial_x100", **row)
+    #    min-over-PASSES at sf0.1, one pass at x100). est >= 0.875 pairs
+    #    the raised gate with the star closure: plain propagation blew
+    #    its 25-round cap there at sf0.1 (measured — the gate removed
+    #    the shortcut edges, so graph diameter exceeds the round cap)
+    for dial, closure, cname in (
+        (DIAL, connected_components, "plain"),
+        (0.875, connected_components_star, "star"),
+    ):
+        row: dict = {
+            "bench": "union_dialed",
+            "char_est_threshold": dial,
+            "closure": cname,
+        }
+        for tag, d, passes in (("sf0.1", SF01, PASSES), ("x100", X100, 1)):
+            best, rows = timed(lambda: union_dialed(d, dial, closure), passes=passes)
+            row[tag] = round(best, 2)
+            row[f"{tag}_rows"] = rows
+            row[f"passes_{tag.replace('.', '_')}"] = passes
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        if row["sf0.1"] > 0:
+            row["factor"] = round(row["x100"] / row["sf0.1"], 2)
+        emit("dedup_union_dial_x100", **row)
 
     # 4. refinement invariant at sf0.1: fewer edges can only split or
     #    preserve clusters, never merge them — every dialed cluster must
