@@ -139,12 +139,18 @@ class _CotenantSampler:
                 if prev_start != start:  # recycled pid: full ticks are new
                     prev_t = 0
                 down += pid_info[pid][1] - prev_t
+            # clamp the iowait delta PER INTERVAL: proc(5) documents the
+            # aggregate iowait counter as non-monotonic ("can decrease in
+            # certain conditions" — per-CPU accounting races, hotplug), and
+            # an unclamped negative interval would cancel genuine disk-wait
+            # recorded in other intervals, under-reporting the exact
+            # dimension this field exists to expose
             self.intervals.append(
                 (
                     now - self._last[0],
                     busy - self._last[1],
                     down,
-                    iowait - self._last[2],
+                    max(0, iowait - self._last[2]),
                 )
             )
         self._last = (now, busy, iowait)

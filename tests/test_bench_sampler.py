@@ -109,6 +109,23 @@ def test_iowait_field_present_and_sane():
     assert all(len(iv) == 4 for iv in s.intervals)
 
 
+def test_negative_iowait_delta_clamped_per_interval():
+    """proc(5): the aggregate iowait counter can DECREASE. A negative
+    interval delta must be clamped to 0 at append time — an unclamped
+    one would cancel real disk-wait from other intervals inside
+    iowait_cores()'s sum, under-reporting the exact dimension the field
+    exists to expose (round-14 review finding). Simulated by inflating
+    the stored last-iowait so the next real sample reads as a
+    decrease."""
+    s = _CotenantSampler()
+    s.sample()
+    assert s._last is not None
+    s._last = (s._last[0], s._last[1], s._last[2] + 10**9)
+    time.sleep(0.2)
+    s.sample()
+    assert s.intervals and s.intervals[-1][3] == 0
+
+
 def test_truncated_pid_stat_is_skipped_not_fatal(monkeypatch):
     """ADVICE r13: a zero-length/truncated /proc/<pid>/stat read during
     pid teardown must skip that pid, not escape sample() and kill the

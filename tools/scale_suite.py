@@ -333,7 +333,10 @@ def dedup_union_dial_x100(spark) -> None:
          0.875} per decade (the dial's response curve, counted from ONE
          pinned-gate pair stream per decade);
       2. recall_cost (sf0.1) — of the exact-verified true char pairs
-         (true J ≥ 0.5), how many survive each raised est gate: the
+         (true J ≥ 0.5; LSH-candidate set, banding held fixed), how
+         many survive each est gate INCLUDING the pinned one — a LEFT
+         join, so pairs whose 16-perm estimate fell below 0.5 count as
+         lost rather than silently shrinking the denominator: the
          recall price of the dial, a per-pair property independent of
          corpus size;
       3. union_dialed — the dialed union (char tier at est ≥ DIAL, word
@@ -361,11 +364,7 @@ def dedup_union_dial_x100(spark) -> None:
         connected_components_star,
     )
     from flink_streaming_twitter_spark.plans import params as P
-    from flink_streaming_twitter_spark.plans.dedup import (
-        CHAR_SHINGLE_K,
-        _cluster_output,
-        _dup_evidence,
-    )
+    from flink_streaming_twitter_spark.plans.dedup import CHAR_SHINGLE_K
     from flink_streaming_twitter_spark.plans.dedup_union import dedup_clusters_char_union
     from flink_streaming_twitter_spark.sources.files import load_table
 
@@ -385,21 +384,15 @@ def dedup_union_dial_x100(spark) -> None:
             accounting=accounting,
         )
 
-    def union_dialed(d, est, closure=connected_components):
-        docs = load_table(spark, d, "documents")
-        cp = char_pairs(d, est).select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    def union_dialed(d, est, closure=None):
+        # the SHIPPED entry with only the dial knobs overridden — timing
+        # a copy here would silently drift from future contract fixes to
+        # the entry's evidence chain (round-14 review finding)
+        return dedup_clusters_char_union(
+            spark, d, char_est_threshold=est, closure=closure
         )
-        comp = closure(
-            _dup_evidence(docs).union(cp),
-            nodes=docs.select(F.col("doc_id").alias("id")).distinct(),
-        )
-        return _cluster_output(comp)
 
-    # 1. dial response curve: one pinned-gate pair stream per decade,
-    #    thresholds counted from its est_jaccard column (no re-runs)
-    for tag, d in (("sf0.1", SF01), ("x100", X100)):
-        pairs = char_pairs(d, P.MINHASH_EST_THRESHOLD).persist()
+    def spectrum(tag, pairs):
         agg = pairs.agg(
             *[
                 F.sum((F.col("est_jaccard") >= F.lit(t)).cast("long")).alias(f"t{i}")
@@ -412,14 +405,32 @@ def dedup_union_dial_x100(spark) -> None:
             tag=tag,
             **{f"pairs_est_ge_{t}": int(agg[f"t{i}"] or 0) for i, t in enumerate(SPECTRUM)},
         )
-        pairs.unpersist()
-        spark.catalog.clearCache()
+
+    # 1. dial response curve: one pinned-gate pair stream per decade,
+    #    thresholds counted from its est_jaccard column (no re-runs).
+    #    The sf0.1 stream stays persisted through section 2's recall
+    #    join — it is the identical frame, and both sections are untimed
+    #    counting passes, so reuse saves a full MinHash-LSH pass at no
+    #    measurement cost (round-14 review finding).
+    pinned01 = char_pairs(SF01, P.MINHASH_EST_THRESHOLD).persist()
+    spectrum("sf0.1", pinned01)
+    pairs_x100 = char_pairs(X100, P.MINHASH_EST_THRESHOLD).persist()
+    spectrum("x100", pairs_x100)
+    pairs_x100.unpersist()
 
     # 2. recall cost of the raised gate (sf0.1; per-pair property): true
     #    char pairs (exact-verified J >= 0.5 — the measured recall-1.0
-    #    baseline, SCALE.md round-11 block) joined to the pinned est
-    #    stream; the 16-perm estimate for each true pair decides whether
-    #    a raised gate keeps it
+    #    baseline, SCALE.md round-11 block) LEFT-joined to the pinned
+    #    est stream; the 16-perm estimate for each true pair decides
+    #    whether a gate keeps it. LEFT, not inner: a true pair whose
+    #    estimate fell below even the PINNED gate (P(est < 0.5) is large
+    #    near J = 0.5 with 16 perms) must stay in the denominator and
+    #    count as lost at every threshold — an inner join would make the
+    #    pinned row tautologically lossless and overstate raised-gate
+    #    recall (round-14 review finding). Scope: the denominator is the
+    #    LSH-candidate exact-verified pair set, so band-miss loss is
+    #    outside it by construction — banding is held fixed; this cell
+    #    measures the EST-GATE dial only.
     docs01_true = D.lsh_verified_jaccard(
         load_table(spark, SF01, "documents"),
         num_perm=P.MINHASH_PERMS,
@@ -428,7 +439,7 @@ def dedup_union_dial_x100(spark) -> None:
         shingle_k=CHAR_SHINGLE_K,
         shingle_mode="char",
     ).select("doc_a", "doc_b")
-    joined = docs01_true.join(char_pairs(SF01, P.MINHASH_EST_THRESHOLD), ["doc_a", "doc_b"])
+    joined = docs01_true.join(pinned01, ["doc_a", "doc_b"], "left")
     rc = joined.agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -440,9 +451,11 @@ def dedup_union_dial_x100(spark) -> None:
         "dedup_union_dial_x100",
         bench="recall_cost",
         tag="sf0.1",
+        denominator="lsh_candidate_exact_ge_0.5",
         true_pairs=int(rc.n),
         **{f"kept_est_ge_{t}": int(rc[f"t{i}"] or 0) for i, t in enumerate(SPECTRUM)},
     )
+    pinned01.unpersist()
     spark.catalog.clearCache()
 
     # 3. the dialed union, timed at both decades (shipped-entry scopes:
