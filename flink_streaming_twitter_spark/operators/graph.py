@@ -48,21 +48,24 @@ def connected_components(
     ``nodes`` optionally supplies isolated vertices (no edges), each its
     own singleton component. Raises if max_iter rounds don't converge.
     """
-    # materialize the edge list ONCE: it is re-joined every round, and its
-    # upstream lineage is typically the expensive part (e.g. a MinHash-LSH
-    # candidate pipeline) — without this, every iteration AND every
-    # convergence count re-executes that whole pipeline
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint()
-    )
+    # materialize the DIRECTED edge list ONCE, then symmetrize from the
+    # checkpointed blocks: the upstream lineage is typically the expensive
+    # part (e.g. a MinHash-LSH candidate pipeline), and symmetrizing
+    # BEFORE the checkpoint would execute that whole pipeline twice (one
+    # union arm each) inside the checkpoint job — round 14 measured the
+    # evidence pipelines of the dedup_clusters* entries running 2x for
+    # exactly that reason. Checkpointing also keeps every iteration AND
+    # every convergence count from re-executing the pipeline.
+    e1 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    sym = e1.union(e1.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # iterate ONLY the edge-endpoint subgraph: isolated vertices are
     # singleton components by definition and joining them through every
     # round is wasted work (most documents are isolated in a near-dup
     # graph); they are appended after convergence
     active = sym.select(F.col("s").alias("id")).distinct()
-    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint()
+    # lazy: materialized by the blocks of whichever round-1 job reads it
+    # first (labels is tiny — one row per edge endpoint)
+    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
 
     def with_singletons(converged: DataFrame) -> DataFrame:
         if nodes is None:
@@ -80,7 +83,10 @@ def connected_components(
         )
         # the improvement flag rides along in the propagation select, so
         # convergence is a filter-count over the checkpointed rows — no
-        # extra new-vs-old join per round
+        # extra new-vs-old join per round. The checkpoint is LAZY and the
+        # convergence count materializes it: one Spark job per round
+        # instead of two (eager-checkpoint job + count job), halving the
+        # driver round-trips of the whole closure (round 14).
         stepped = (
             labels.join(nbr_min, labels.id == nbr_min.s, "left")
             .select(
@@ -92,7 +98,7 @@ def connected_components(
                     "improved"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("id", F.col("new_comp").alias("comp"))
         if stepped.filter("improved").count() == 0:
@@ -132,13 +138,20 @@ def connected_components_star(
     ``stats["rounds"]`` reports rounds used (one large+small pair each).
     """
     # canonical downhill edges (a > b), self-loops out; endpoints are
-    # remembered so self-loop-only/isolated nodes still get labeled
-    raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    # remembered so self-loop-only/isolated nodes still get labeled.
+    # The RAW edge list is checkpointed ONCE (lazily — the first
+    # fingerprint job materializes it through E) and both `touched` and
+    # `E` derive from the checkpointed blocks: before round 14 each of
+    # them checkpointed its own copy of the upstream evidence pipeline
+    # (touched's two union arms + E = three executions of e.g. the
+    # MinHash-LSH candidate chain feeding dedup_clusters_star).
+    raw = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).localCheckpoint(
+        eager=False
+    )
     touched = (
         raw.select(F.col("x").alias("id"))
         .union(raw.select(F.col("y").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     def fingerprint(edges: DataFrame) -> tuple[int, int]:
         """(edge count, wrapped sum of per-edge hashes) in ONE aggregate
@@ -157,11 +170,15 @@ def connected_components_star(
         ).first()
         return int(row.n), int(row.h)
 
+    # lazy checkpoint fused with the fingerprint job: fingerprint(E)
+    # materializes E's blocks (and raw's, one evidence execution total)
+    # in the same job that reads the count+hash — one job where the
+    # eager form paid one per checkpoint plus one per fingerprint
     E = (
         raw.filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges, e_hash = fingerprint(E)
     converged = n_edges == 0
@@ -197,7 +214,7 @@ def connected_components_star(
             from_members.union(from_centers)
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_n, new_hash = fingerprint(new_e)
         converged = (
