@@ -154,7 +154,7 @@ def _drain_events_stream(
     build: "Callable[[object], DataFrame]",
     output_mode: str,
     state_store: str | None = None,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     n_files: int = 3,
     progress: list | None = None,
     timing: dict | None = None,
@@ -195,8 +195,13 @@ def _drain_events_stream(
     each stateful operator commits one state-store instance per shuffle
     partition per micro-batch, so a bounded replay pays fixed cost per
     partition — measured 2× wall on the sf0.1 drains going from 32
-    partitions to 8, and a vanilla 200-partition session is worse. On a
-    real cluster SIZE THIS UP: the same knob must exceed total cores and
+    partitions to 8, and a vanilla 200-partition session is worse. The
+    round-14 sweep (tools/stream_partition_sweep.py, query-only seconds,
+    min-over-3 at sf0.1) moved the default 8 → 4: qb_counts 2.17→1.91,
+    dedup_keys 1.62→1.46, interval_pairs 4.80→3.63, session_counts
+    2.03→1.64 (2 partitions is within noise of 4 everywhere — the curve
+    is flat at the bottom, so 4 keeps parallelism headroom). On a real
+    cluster SIZE THIS UP: the same knob must exceed total cores and
     keep per-partition state within executor memory (SCALE.md).
     """
     import os
@@ -456,11 +461,11 @@ def stream_qa_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_store="rocksdb",
         # RocksDB pays per-INSTANCE commit overhead (one store per
-        # shuffle partition per stateful operator per batch), so the
-        # bounded replay prefers fewer partitions than the HDFS-provider
-        # drains: sweep at sf0.1 measured 4→1.98 s, 8→2.22 s, 16→2.85 s
-        # (tools note in SCALE.md). Same SIZE-THIS-UP caveat applies on
-        # a real cluster.
+        # shuffle partition per stateful operator per batch): sweep at
+        # sf0.1 measured 4→1.98 s, 8→2.22 s, 16→2.85 s (round 13; the
+        # round-14 sweep moved the harness default to 4 for the HDFS
+        # drains too, so this explicit value now just pins the measured
+        # choice). Same SIZE-THIS-UP caveat applies on a real cluster.
         state_partitions=4,
     )
     return sink.select("sample_w_start", "top_event_type", "top_cnt")
