@@ -359,9 +359,19 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
     fact — NATION_9 suppliers that were the ONLY late shipper on a
     multi-supplier finished order. 'Late' is shipped >30 days after the
-    order date (receipt/commit dates absent). The EXISTS becomes a left
-    semi join and the NOT EXISTS a left anti join on (orderkey,
-    suppkey≠) — each shuffles only key pairs."""
+    order date (receipt/commit dates absent).
+
+    The EXISTS/NOT EXISTS pair is evaluated as ONE two-level aggregation
+    (round 14, guide §2.3 aggregate-before-shuffle): a waiting pair
+    (o, s) exists iff order o has >1 distinct supplier and s is its ONLY
+    distinct late supplier — so per (order, supplier) collapse
+    line-level lateness with max(late), then per order count suppliers /
+    late suppliers and keep the unique late one (max over a singleton).
+    The previous form (distinct + left-semi + left-anti against the same
+    lineage) executed the lineitem⋈orders join three times and paid two
+    sort-merge joins; this joins the fact once and shuffles (orderkey,
+    suppkey, late) once, plus a one-row-per-pair second aggregate.
+    Hash-identical vs the unchanged EXISTS-form DuckDB oracle."""
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -371,21 +381,15 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30).alias("late"),
     )
-    l1 = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
-    others = lines.select(
-        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"), "late"
+    by_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = by_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
-    waiting = (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
-            "left_semi",
-        ).join(
-            others.filter(F.col("late")),
-            (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
-            "left_anti",
-        )
-    )
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     return (
         waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
