@@ -387,7 +387,16 @@ def lsh_candidate_pairs(
     (ADVICE r8: the separate opt-in ``oversized_buckets`` call meant a
     binding cap could silently lose pairs when nobody wired it up).
     """
-    banded = banded_signatures(signatures, num_perm, bands, id_col)
+    # persist the BANDED table, not (only) the upstream signatures: four
+    # lineages read it — the occupancy aggregate inside cap_bucket_size,
+    # the two self-join sides, and (under accounting) the dropped-bucket
+    # ledger — and AQE re-plans each subtree independently, so without
+    # the cache the banding explode executes up to four times per query
+    # (both Generate nodes and both occupancy aggregates appear in
+    # plans/r14/dedup_lsh_exact_before.txt; interleaved A/B in
+    # tools/ab_lsh_banded.py). One (id, band, sig) row per (doc, band)
+    # is a few dozen bytes × bands per doc — trivial next to the text.
+    banded = banded_signatures(signatures, num_perm, bands, id_col).persist()
     capped = cap_bucket_size(banded, ["band", "sig"], max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
@@ -424,16 +433,24 @@ def minhash_lsh_dedup(
     ``shingle_mode="char"``: the multilingual evidence base (character
     k-grams over normalized text — doc_shingle_sets); banding, capping,
     and the estimated-Jaccard filter are identical."""
-    # Row-wise signatures have no aggregation exchange for ReuseExchange to
-    # share across the self-join's two sides, so persist the (1 row/doc,
-    # ~100 B) signature table instead of recomputing the tokenize+hash
-    # lineage twice (measured 3.5x on the banded join).
+    # Row-wise signatures have no aggregation exchange for ReuseExchange
+    # to share across the self-join's two sides, so the candidate lineage
+    # must be materialized once (unpersisted, the tokenize+hash pipeline
+    # measured 3.5x on the banded join). Round 14 moves the cache from
+    # the signature table to the BANDED table one step downstream: the
+    # occupancy aggregate inside cap_bucket_size and both self-join
+    # sides all read the banded rows, so caching before the banding
+    # explode still ran the explode (and the aggregate's copy of it) per
+    # consumer — see lsh_candidate_pairs, whose before-plan shows the
+    # duplicated Generate/aggregate arms, and tools/ab_lsh_banded.py
+    # for the interleaved A/B. The banded rows carry the mhs array
+    # (bands × ~100 B per doc) — still trivial next to the text.
     sigs = minhash_signatures(
         doc_shingle_sets(docs, k=shingle_k, shingle_mode=shingle_mode), num_perm
-    ).persist()
+    )
     # Carry the packed signature array through the band self-join so the
     # estimated Jaccard needs NO extra signature joins.
-    banded = banded_signatures(sigs, num_perm, bands, carry=("mhs",))
+    banded = banded_signatures(sigs, num_perm, bands, carry=("mhs",)).persist()
     capped = cap_bucket_size(banded, ["band", "sig"], max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
     n_eq = F.size(
@@ -579,11 +596,23 @@ def ngram_jaccard_pairs(
 
     order = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("sh").asc())
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # persist the PREFIX, not just the sets: the candidate self-join reads
+    # it on both sides, and (as with the signature tables above) AQE
+    # re-plans the two subtrees independently so ReuseExchange never
+    # shares the explode → dfreq-join → sort+window pipeline between
+    # them — unpersisted, the whole prefix derivation (the row-amplifying
+    # explode and the per-doc sort, the expensive part of PPJoin candidate
+    # generation) executes twice per query (round 14: both Window nodes
+    # and both dfreq aggregates appear in the before-plan,
+    # plans/r14/dedup_ngram_jaccard_before.txt; interleaved A/B in
+    # tools/ab_ngram_prefix.py). ~prefix_len rows/doc of (id, hash, sz) is
+    # far smaller than the text, so the cache footprint is trivial.
     prefix = (
         ex.join(dfreq, "sh")
         .withColumn("rn", F.row_number().over(order))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sh", "sz")
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     length_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= F.lit(threshold) * F.greatest(
