@@ -361,8 +361,18 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue 'view' + scalar-subquery max — suppliers
     whose quarter revenue equals the maximum. The max is a broadcast
-    one-row aggregate joined back (Catalyst turns the equality into a
-    single-pass reuse of the view), never a driver-side collect."""
+    one-row aggregate joined back, never a driver-side collect.
+
+    The view lineage IS executed twice (the max arm and the output arm;
+    AQE re-plans them independently so ReuseExchange never fires —
+    plans/r14/tpch_q15_top_supplier_before.txt shows both Exchange
+    arms). Round 14 measured persisting it: 1.69 → 2.12 s min-over-4
+    interleaved A/B at sf0.1 — SLOWER, because the duplicated arm is
+    only a date-pruned scan + hash aggregate while the cache pays a
+    materialization barrier and blocks codegen fusion into the
+    broadcast. Left unpersisted deliberately; on a cluster where the
+    quarter's fact pass dominates, materialize the view once
+    (checkpoint/table) instead of paying the scan twice."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))

@@ -209,6 +209,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
         "s_suppkey"
     )
+    # vals IS executed twice (the global-total arm and the HAVING-
+    # filtered output arm; AQE re-plans them independently so
+    # ReuseExchange never fires — both Exchange arms in
+    # plans/r14/tpch_q11_important_stock_before.txt). Round 14 measured
+    # persisting it: 1.85 → 2.48 s min-over-4 interleaved A/B at sf0.1 —
+    # SLOWER, same verdict as tpch_q15: the duplicated arm is a pruned
+    # scan + broadcast semi-join + hash aggregate, cheaper than the
+    # cache's materialization barrier. Left unpersisted deliberately;
+    # at fact-dominated scale materialize the view once instead.
     vals = (
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
