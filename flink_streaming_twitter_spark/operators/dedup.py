@@ -26,6 +26,15 @@ at ingest; every hash/shingle/join is JVM-side Column code):
 
 Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle can
 reproduce results bit-for-bit.
+
+Caching contract: the candidate-generation paths ``persist()`` their
+shared self-join inputs (shingle sets, banded signatures, the PPJoin
+prefix, SimHash fingerprints) and deliberately do NOT unpersist them —
+the returned DataFrames are lazy and still reference the cached plans.
+A caller that invokes these operators repeatedly in one long-lived
+session must drop the accumulated blocks between invocations
+(``spark.catalog.clearCache()``, as bench.py and the oracle harness
+do) or accept growing storage-memory pressure.
 """
 
 from __future__ import annotations

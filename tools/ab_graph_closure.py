@@ -58,17 +58,26 @@ def main() -> None:
     spark = build_session("ab-graph-closure", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(closure) -> tuple[float, int]:
+    def run(closure) -> tuple[float, tuple[int, int]]:
         docs = load_table(spark, sf_dir, "documents")
         t0 = time.perf_counter()
         comp = closure(
             _dup_evidence(docs),
             nodes=docs.select(F.col("doc_id").alias("id")).distinct(),
         )
-        n = comp.count()
+        # count + order-insensitive CONTENT hash (post-review fix: both
+        # closures emit one row per node by construction, so a bare row
+        # count would pass even if the comp LABELS regressed — same
+        # fingerprint discipline as ab_lsh_banded/ab_ngram_prefix)
+        row = comp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
-        return round(dt, 2), n
+        return round(dt, 2), (int(row.n), int(row.h))
 
     cells = {
         "plain_old": old_graph.connected_components,
@@ -80,19 +89,21 @@ def main() -> None:
     for fn in cells.values():
         run(fn)
     out: dict[str, list[float]] = {k: [] for k in cells}
-    rows: dict[str, int] = {}
+    rows: dict[str, tuple[int, int]] = {}
     for _ in range(n_passes):
         for k, fn in cells.items():  # interleaved: A,B,A',B' per sweep
             dt, n = run(fn)
             out[k].append(dt)
-            rows[k] = n
+            prev = rows.setdefault(k, n)
+            assert prev == n, f"{k}: fingerprint drifted across passes {prev} vs {n}"
         spark.sparkContext._jvm.System.gc()
     assert rows["plain_old"] == rows["plain_new"] == rows["star_old"] == rows["star_new"]
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "rows": rows["plain_new"],
+                "rows": rows["plain_new"][0],
+                "fingerprints_equal": True,
                 **{k: {"passes": v, "min": min(v)} for k, v in out.items()},
             }
         )
