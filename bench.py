@@ -87,7 +87,13 @@ class _CotenantSampler:
             # iowait (4) are excluded by construction; guest/guest_nice
             # (8, 9) are excluded because the kernel already folds them
             # into user/nice — summing them too would double-count VM
-            # guest time and inflate the co-tenant estimate (ADVICE r13)
+            # guest time and inflate the co-tenant estimate (ADVICE r13).
+            # steal stays IN deliberately: hypervisor co-tenancy burns
+            # machine capacity without appearing in any guest process's
+            # ticks, so it surfaces as co-tenant CPU — the correct
+            # reading for a contention flag (round 14 measured 18.9 ks
+            # of cumulative steal on this host; its bursts are what made
+            # two all-quiet-by-EMA draws run ~35% hot)
             busy = sum(vals[:8]) - vals[3] - vals[4]
             iowait = vals[4]
             # pid -> (ppid, ticks, starttime)
