@@ -399,7 +399,19 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q17 shape: correlated aggregate subquery — lineitems with
     quantity below 20% of their part's average quantity. Decorrelated the
     scalable way: compute per-part averages once (one aggregation),
-    broadcast-join back, filter — never a per-row subquery execution."""
+    broadcast-join back, filter — never a per-row subquery execution.
+
+    The li⋈broadcast(part) prefilter pass runs TWICE (avg arm + main
+    arm). Round 15 MEASURED the persist-the-prefilter alternative the
+    r14 checklist had only argued by analogy to q11/q15
+    (tools/ab_q17_persist.py, interleaved 6-pass A/B at sf0.1,
+    fingerprint-identical outputs): base min 1.246 s vs persisted
+    1.271 s, medians 1.6 vs 1.8 — the duplicated arm (pruned scan +
+    broadcast join) stays cheaper than the cache's materialization
+    barrier, so the shipped form keeps the re-scan. At 100 TB the same
+    trade holds WHEN the brand filter is selective (the duplicated work
+    is proportional to the filtered slice); materialize `pre` once if a
+    deploy corpus makes the prefilter pass itself the dominant cost."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     avg_qty = (

@@ -107,7 +107,36 @@ VERIFIED_WINDOW: tuple[str, ...] = (
 # does not; CORRECTNESS_r{N} holds exactly the 50 window keys, so a
 # tail exemption's only certificates are builder-side check_oracle
 # runs plus an in-window twin exercising the same changed code path).
-TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = ()
+# Round-15 optimization edits land in operators/dedup.py (the
+# one_row_per_key hash-aggregable rewrite + char_shingle_hashes'
+# distinct-before-hash), whose import closure reaches six tail
+# entries. Unlike round 14's q21, every changed FUNCTION is driver-
+# certified this round through in-window entries exercising the same
+# code path (the seven dedup tiers + dedup_simhash +
+# multimodal_decode_stats cover all three one_row_per_key call-site
+# shapes; dedup_minhash_lsh_char covers the char-gram change).
+_OPT_R15_DEDUP = (
+    "round-15 optimization: operators/dedup.py changed (one_row_per_key "
+    "rewrite + char-gram hashing); this entry consumes the same operators "
+    "the nine in-window dedup/simhash/decode entries hash-certify, and was "
+    "itself builder-verified green vs its unchanged oracle at sf0.001 and "
+    "sf0.01"
+)
+_OPT_R15_CLOSURE_ONLY = (
+    "round-15 optimization: affected only via plans/misc.py's import "
+    "closure (the changed one_row_per_key is called there only by the "
+    "in-window multimodal_decode_stats; this entry executes none of the "
+    "changed code); builder-verified green vs its unchanged oracle at "
+    "sf0.01"
+)
+TAIL_EXEMPTIONS: tuple[tuple[str, str], ...] = (
+    ("dedup_clusters", _OPT_R15_DEDUP),
+    ("dedup_clusters_star", _OPT_R15_DEDUP),
+    ("dedup_clusters_char_union", _OPT_R15_DEDUP),
+    ("events_sessionize", _OPT_R15_CLOSURE_ONLY),
+    ("multimodal_meta", _OPT_R15_CLOSURE_ONLY),
+    ("q_range_join_error_impact", _OPT_R15_CLOSURE_ONLY),
+)
 
 
 # The previous round's verdict commit — the diff anchor the contract

@@ -43,8 +43,14 @@ def _steal_ticks() -> int:
     return int(vals[7]) if len(vals) > 7 else 0
 
 
-def _skip_if_host_stole(steal0: int, window: float, limit: float = 0.25) -> None:
-    steal_cores = (_steal_ticks() - steal0) / os.sysconf("SC_CLK_TCK") / window
+def _skip_if_host_stole(steal0: int, t0: float, limit: float = 0.25) -> None:
+    """``t0`` is the monotonic stamp taken WITH ``steal0``: the steal
+    delta spans the whole capture-to-check interval (Popen spawn,
+    sampler setup, p.wait — not just the nominal sample window), so
+    dividing by anything shorter overestimates steal_cores and skips
+    more eagerly than the quarter-core limit intends (ADVICE r14)."""
+    elapsed = time.monotonic() - t0
+    steal_cores = (_steal_ticks() - steal0) / os.sysconf("SC_CLK_TCK") / elapsed
     if steal_cores > limit:
         pytest.skip(
             f"hypervisor stole {steal_cores:.2f} cores during the window — "
@@ -71,14 +77,14 @@ def test_sampler_returns_none_without_intervals():
 
 def test_own_child_burn_not_attributed_to_cotenant():
     """A CHILD burning a full core for the window is our own work."""
-    steal0 = _steal_ticks()
+    steal0, t0 = _steal_ticks(), time.monotonic()
     p = subprocess.Popen([sys.executable, "-c", BURN.format(dur=1.8)])
     try:
         mean, _peak = _measure()
     finally:
         p.wait()
     if mean >= 0.6:
-        _skip_if_host_stole(steal0, 2.2)
+        _skip_if_host_stole(steal0, t0)
     assert mean < 0.6, f"own child's core leaked into co-tenant estimate: {mean}"
 
 
@@ -86,7 +92,7 @@ def test_dying_child_ticks_do_not_spike_cotenant():
     """The r13 failure mode: a child that burns ACROSS the first sample
     then exits before the second must cost at most its final partial
     interval — not re-attribute its lifetime CPU to the co-tenant."""
-    steal0 = _steal_ticks()
+    steal0, t0 = _steal_ticks(), time.monotonic()
     p = subprocess.Popen([sys.executable, "-c", BURN.format(dur=0.9)])
     time.sleep(0.2)  # child is alive and burning at the first sample
     s = _CotenantSampler()
@@ -96,7 +102,7 @@ def test_dying_child_ticks_do_not_spike_cotenant():
     s.sample()
     mean, _peak = s.cotenant_cores()
     if mean >= 0.6:
-        _skip_if_host_stole(steal0, 2.0)
+        _skip_if_host_stole(steal0, t0)
     assert mean < 0.6, f"dying child's lifetime re-attributed to co-tenant: {mean}"
 
 

@@ -768,3 +768,103 @@ def test_char_two_tier_matches_exact_char_allpairs_on_fixture(spark):
     assert exact == verified
     assert exact[(90, 91)] == pytest.approx(0.9)  # the multilingual pair
     assert exact[(0, 1)] == 1.0
+
+
+def test_md5_split_order_matches_hex_order(spark):
+    """Round 15: one_row_per_key's hash-aggregable tie-break relies on
+    the (_md5_order_cols prefix, suffix) numeric pair ordering EXACTLY
+    like the md5 hex string Spark's min_by / DuckDB's arg_min order by.
+    Pin the property over a few thousand digests (fixed-width lowercase
+    hex makes lexicographic = unsigned-numeric order; this catches any
+    future change to the split arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.operators.dedup import _md5_order_cols
+
+    df = spark.range(3000).select(F.md5(F.col("id").cast("string")).alias("h"))
+    hp, hs = _md5_order_cols(F.col("h"))
+    rows = df.select("h", hp.alias("hp"), hs.alias("hs")).collect()
+    by_hex = sorted(rows, key=lambda r: r.h)
+    by_split = sorted(rows, key=lambda r: (r.hp, r.hs))
+    assert [r.h for r in by_hex] == [r.h for r in by_split]
+    # the split is lossless: 30 hex digits in the decimal, 2 in the int
+    r0 = by_hex[0]
+    assert int(r0.hp) == int(r0.h[:30], 16) and r0.hs == int(r0.h[30:], 16)
+
+
+def test_one_row_per_key_hash_form_matches_min_by_form(spark):
+    """Round 15: the two-level (prefix, suffix) HashAggregate + winner
+    join-back must reproduce the round-11 min_by(struct, md5) form
+    row-for-row on a frame exercising retries, conflicts, NULL+content
+    mixes and all-NULL keys — and its plan must carry no SortAggregate
+    (the rewrite's whole point; VERDICT r14 item 2)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.operators.dedup import _spread, one_row_per_key
+
+    rng = random.Random(1151)
+    rows = []
+    for key in range(200):
+        for _ in range(rng.randint(1, 5)):
+            body = None if rng.random() < 0.15 else f"text {rng.randint(0, 3)} of {key % 40}"
+            rows.append((key, body))
+    df = _spread(spark.createDataFrame(rows, "doc_id LONG, text STRING"), "doc_id")
+    new = one_row_per_key(df, "doc_id", "text")
+    old_picked = F.min_by(F.struct(F.col("text")), F.md5(F.col("text")))
+    old = df.groupBy("doc_id").agg(old_picked.alias("_w")).select("doc_id", "_w.*")
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_one_row_per_key_generic_frame_falls_back_to_min_by(spark):
+    """Frames wider than (key, content) keep the round-11 min_by(struct)
+    semantics: the winner's EXTRA columns travel with the winning row."""
+    from flink_streaming_twitter_spark.operators.dedup import one_row_per_key
+
+    rows = [(1, "alpha body", 10), (1, "beta body", 20), (2, None, 30)]
+    df = spark.createDataFrame(rows, "k INT, text STRING, extra INT")
+    got = {r.k: (r.text, r.extra) for r in one_row_per_key(df, "k", "text").collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    winner = min(("alpha body", "beta body"), key=md5)
+    assert got[1] == (winner, 10 if winner == "alpha body" else 20)
+    # an all-NULL-content key keeps one row whose struct is the min_by
+    # NULL result — extras come back NULL with it (round-11 semantics)
+    assert got[2] == (None, None)
+
+
+def test_char_shingle_hashes_distinct_grams_equivalence(spark):
+    """Round 15: hashing the DISTINCT k-grams (then array_distinct at
+    the caller) is bit-identical — order included — to the round-11
+    hash-every-position form, on repetitive, multilingual and
+    shorter-than-k texts."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.functions.hashing import md5_int31
+    from flink_streaming_twitter_spark.operators.dedup import char_shingle_hashes
+
+    texts = [
+        "abababababab",            # heavy gram repetition
+        "la la la la land",
+        "这是一个测试这是一个测试",   # CJK repetition
+        "abc",                     # shorter than k -> whole string
+        "mississippi mississippi",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    k = 5
+    n = F.length(F.col("t"))
+    positional = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: md5_int31(F.col("t").substr(i, F.lit(k))),
+    )
+    got = df.select(
+        F.array_distinct(char_shingle_hashes(F.col("t"), k=k)).alias("new"),
+        F.array_distinct(positional).alias("old"),
+    ).collect()
+    for r in got:
+        assert list(r.new) == list(r.old)
