@@ -214,10 +214,31 @@ def char_normalized_text(text: F.Column, nfc: bool = True) -> F.Column:
     char shingles are computed over exactly the text the corpus-prep
     pipeline persists. ``nfc=False`` drops the Arrow-batched Python NFC
     stage for pre-normalized input — the deploy shape: run NFC once at
-    ingest (q_text_normalize_nfc), feed the persisted norm_text here."""
+    ingest (q_text_normalize_nfc), feed the persisted norm_text here.
+
+    ASCII mask (round 15, guide §4 "pass only the columns the function
+    needs" taken down to the BYTES the function needs): NFC is the
+    identity on pure-ASCII text (every ASCII code point is NFC_QC=Yes
+    with no combining behavior), and ``octet_length = length`` decides
+    pure-ASCII exactly under UTF-8 — so ASCII rows cross the JVM→Python
+    boundary as NULLs (a validity bit each, no string bytes) and the
+    Python stage normalizes only genuinely non-ASCII rows. Measured
+    honestly: at sf0.1 this is NEUTRAL — the tier's ~1 s NFC-stage cost
+    is dominated by the fixed ArrowEvalPython round-trip (which the
+    mask cannot remove; the plan keeps the stage), and CPython's
+    normalize already quick-checks ASCII — so what the mask removes is
+    the TEXT BYTES crossing the boundary (Arrow buffers shrink by the
+    corpus's ASCII share), the only component of the stage that grows
+    with data volume. Bit-exact by the identity (pinned by
+    test_char_nfc_ascii_mask_is_exact)."""
     from .textops import nfc_udf
 
-    base = nfc_udf()(text) if nfc else text
+    if nfc:
+        is_ascii = F.octet_length(text) == F.length(text)
+        normalized = nfc_udf()(F.when(is_ascii, F.lit(None)).otherwise(text))
+        base = F.when(is_ascii, text).otherwise(normalized)
+    else:
+        base = text
     return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(base), "\\s+", " "),
@@ -683,7 +704,16 @@ def ngram_jaccard_pairs(
     sets = doc_shingle_sets(
         docs, k=shingle_k, hash_bits=hash_bits, shingle_mode=shingle_mode
     ).persist()
-    ex = sets.select("doc_id", "sz", F.explode("shs").alias("sh"))
+    # persist the exploded (id, sz, sh) frame too (round 15): the dfreq
+    # aggregate and the prefix arm both read it, and AQE re-plans the
+    # subtrees independently, so unpersisted the shingle explode runs
+    # twice per query. At sf0.1 the two executions are at the noise
+    # floor (r14 measured it twice, ±); at ×10 docs the explode arm
+    # dominates and the persist wins every interleaved pass —
+    # min-over-4 75.2 → 32.4 s (−57%), worst pass −38%
+    # (tools/ab_ngram_ex_persist.py, fingerprint-identical outputs).
+    # ~|shs| rows/doc of (long, int, long) — small next to the text.
+    ex = sets.select("doc_id", "sz", F.explode("shs").alias("sh")).persist()
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window

@@ -868,3 +868,42 @@ def test_char_shingle_hashes_distinct_grams_equivalence(spark):
     ).collect()
     for r in got:
         assert list(r.new) == list(r.old)
+
+
+def test_char_nfc_ascii_mask_is_exact(spark):
+    """Round 15: char_normalized_text ships only non-ASCII rows through
+    the Python NFC stage (ASCII rows are masked to NULL at the Arrow
+    boundary — NFC is the identity on ASCII). The masked chain must be
+    bit-identical to running the corpus normalize pass (nfc=True) on
+    every row, across ASCII, precomposed, combining-mark, CJK and
+    whitespace-edge texts."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_twitter_spark.operators.dedup import char_normalized_text
+    from flink_streaming_twitter_spark.operators.textops import nfc_udf
+
+    texts = [
+        "plain ascii text  with   runs",
+        "café combining acute",          # NFC-composes
+        "café precomposed",
+        "Å angstrom sign",                # NFC maps U+212B -> U+00C5
+        "这是中文　全角空格",
+        "tab\tand\x0bvertical",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    # reference: the unmasked chain — UDF over every row, then the same
+    # JVM cleanup (exactly what the function shipped before the mask)
+    ref = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(nfc_udf()(F.col("t"))), "\\s+", " "),
+            "[\\x00-\\x1f\\x7f]",
+            "",
+        )
+    )
+    rows = df.select(
+        char_normalized_text(F.col("t")).alias("new"), ref.alias("old")
+    ).collect()
+    for r in rows:
+        assert r.new == r.old

@@ -29,10 +29,15 @@ sys.path.insert(0, REPO)
 from flink_streaming_twitter_spark.session import build_session  # noqa: E402
 
 
-def ngram_jaccard_pairs_ex_persisted(docs, threshold, shingle_k, hash_bits):
+def ngram_jaccard_pairs_ex_persisted(
+    docs, threshold, shingle_k, hash_bits, persist_prefix=True
+):
     """ngram_jaccard_pairs with the exploded (doc_id, sz, sh) frame
     persisted so the dfreq aggregate and the prefix arm read one
-    materialization instead of exploding the cached sets twice."""
+    materialization instead of exploding the cached sets twice.
+    ``persist_prefix=False`` additionally drops the r14 prefix persist
+    (the x10 dissection variant: ex cached, prefix recomputed per join
+    side from the cache)."""
     from pyspark.sql import functions as F
 
     from flink_streaming_twitter_spark.operators.dedup import doc_shingle_sets
@@ -50,8 +55,9 @@ def ngram_jaccard_pairs_ex_persisted(docs, threshold, shingle_k, hash_bits):
         .withColumn("rn", F.row_number().over(order))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sh", "sz")
-        .persist()
     )
+    if persist_prefix:
+        prefix = prefix.persist()
     a, b = prefix.alias("a"), prefix.alias("b")
     length_ok = F.least(F.col("a.sz"), F.col("b.sz")) >= F.lit(threshold) * F.greatest(
         F.col("a.sz"), F.col("b.sz")
@@ -121,6 +127,12 @@ def main() -> None:
                 docs, P.JACCARD_THRESHOLD, P.SHINGLE_K, bits
             ),
         ),
+        (
+            "ex_only",
+            lambda: ngram_jaccard_pairs_ex_persisted(
+                docs, P.JACCARD_THRESHOLD, P.SHINGLE_K, bits, persist_prefix=False
+            ),
+        ),
     ]
     res = {v: [] for v, _ in variants}
     fps = {}
@@ -134,7 +146,7 @@ def main() -> None:
             assert prev == f, f"{vname} drifted: {prev} vs {f}"
             spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-    assert fps["base"] == fps["ex_persist"], f"outputs differ: {fps}"
+    assert fps["base"] == fps["ex_persist"] == fps["ex_only"], f"outputs differ: {fps}"
     print(
         json.dumps(
             {
